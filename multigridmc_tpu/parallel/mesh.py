@@ -1,0 +1,76 @@
+"""Device-mesh construction for lattice domain decomposition.
+
+The reference has no parallelism of any kind (SURVEY.md section 2.2); this module
+is the TPU-native scaling layer it lacks: the lattice grid axes are sharded over
+a 1d/2d/3d ``jax.sharding.Mesh`` so every stencil shift becomes a width-1 (or 2,
+for the biharmonic operator) halo exchange that XLA's SPMD partitioner inserts
+over ICI automatically.  Coarse multigrid levels fall below the per-chip tile
+threshold and are replicated (the structured-grid analogue of coarse-grid
+agglomeration).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+#: mesh axis names for lattice dims, slowest array axis first (z, y, x)
+AXIS_NAMES = ("lz", "ly", "lx")
+
+
+def factor_devices(n: int, dim: int) -> Tuple[int, ...]:
+    """Factor n devices into a near-square mesh over up to ``dim`` lattice axes."""
+    shape = [1] * dim
+    remaining = n
+    # greedily split by smallest prime factors, round-robin over axes
+    primes = []
+    d = 2
+    while remaining > 1:
+        while remaining % d == 0:
+            primes.append(d)
+            remaining //= d
+        d += 1
+    for i, p in enumerate(sorted(primes, reverse=True)):
+        shape[i % dim] *= p
+    return tuple(sorted(shape, reverse=True))
+
+
+def lattice_mesh(
+    dim: int, n_devices: Optional[int] = None, devices=None, mesh_shape=None
+) -> Mesh:
+    """A mesh over the last ``min(dim, 2)`` lattice axes (sharding the two
+    innermost axes keeps per-chip tiles large in the fastest-varying dims)."""
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    naxes = min(dim, 2)
+    if mesh_shape is None:
+        mesh_shape = factor_devices(n, naxes)
+    axis_names = AXIS_NAMES[-dim:][-naxes:]
+    dev_array = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(dev_array, axis_names)
+
+
+def field_spec(dim: int, mesh: Mesh, batch_axes: int = 0) -> P:
+    """PartitionSpec for a lattice field: trailing grid axes sharded by the mesh
+    axes (innermost axes), leading batch axes replicated."""
+    names = [None] * dim
+    mesh_axes = list(mesh.axis_names)
+    # mesh axes map onto the *last* len(mesh_axes) grid axes
+    for i, name in enumerate(mesh_axes):
+        names[dim - len(mesh_axes) + i] = name
+    return P(*([None] * batch_axes + names))
+
+
+def shard_field(x, lattice_dim: int, mesh: Mesh):
+    """Device-put a field with the canonical lattice sharding."""
+    batch_axes = x.ndim - lattice_dim
+    return jax.device_put(x, NamedSharding(mesh, field_spec(lattice_dim, mesh, batch_axes)))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,127 @@
+"""Multigrid Monte Carlo sampler - the flagship algorithm.
+
+TPU-native counterpart of ``src/sampler/multigridmc_sampler.{hh,cc}`` (Goodman &
+Sokal 1989): a stochastic multigrid V/W-cycle whose smoothers are multi-colour
+SOR/SSOR Gibbs sweeps and whose coarse-level "solve" is an exact Cholesky (or
+SSOR Gibbs) sample.
+
+Construction mirrors ``multigridmc_sampler.cc:8-100``: per level a
+Galerkin-coarsened operator, a forward pre-sampler and a backward post-sampler;
+the coarsest level gets a Cholesky or SSOR sampler.  The recursive cycle
+(``multigridmc_sampler.cc:103-130``) unrolls at trace time:
+
+    sample(level):
+        if coarsest:  x_L ~ coarse_sampler(f_L, x_L)
+        else, repeated ``cycle`` times on levels > 0:
+            x_l  ~ presampler(f_l, x_l)                     (forward Gibbs)
+            f_{l+1} = R (f_l - A_l x_l)
+            x_{l+1} = 0;  sample(level+1)
+            x_l += coarse_scaling * P x_{l+1}
+            x_l  ~ postsampler(f_l, x_l)                    (backward Gibbs)
+
+Chain-state semantics match ``multigridmc_sampler.cc:133-139``: the fine-level x
+is carried across calls (NOT zeroed - unlike the deterministic preconditioner),
+coarse-level states are zero-initialised at each visit.
+
+The whole cycle is one jittable pure function of ``(key, f, x)`` and batches over
+leading chain dimensions, so thousands of independent chains run in lockstep on
+one chip - this is where the TPU throughput comes from.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.coarsen import galerkin_coarsen
+from ..ops.intergrid import prolongate_add, restrict
+from ..ops.stencil import StencilOperator
+from ..smoothers import BACKWARD, FORWARD
+from ..solvers.multigrid import MultigridHierarchy
+from .base import Sampler
+from .cholesky import BandCholeskySampler, DenseCholeskySampler
+from .sor import SORSampler, SSORSampler
+
+
+class MultigridMCSampler(Sampler):
+    """cf. ``MultigridMCSampler`` (``multigridmc_sampler.hh:24-73``).
+
+    Parameters mirror ``MultigridParameters`` (``parameters.hh:145-174``) plus the
+    Cholesky factorisation choice (``parameters.hh:87-91``).
+    """
+
+    def __init__(
+        self,
+        op: StencilOperator,
+        nlevel: int,
+        smoother: str = "SOR",
+        coarse_solver: str = "Cholesky",
+        npresmooth: int = 1,
+        npostsmooth: int = 1,
+        ncoarsesmooth: int = 1,
+        omega: float = 1.0,
+        cycle: int = 1,
+        coarse_scaling: float = 1.0,
+        cholesky_factorisation: str = "dense",
+        hierarchy: Optional[MultigridHierarchy] = None,
+        verbose: int = 0,
+    ):
+        super().__init__(op)
+        self.hierarchy = hierarchy or MultigridHierarchy(op, nlevel)
+        self.nlevel = self.hierarchy.nlevel
+        self.cycle = int(cycle)
+        self.coarse_scaling = float(coarse_scaling)
+
+        smoother = smoother.upper()
+        self.presamplers = []
+        self.postsamplers = []
+        for level_op in self.hierarchy.operators:
+            if smoother == "SOR":
+                self.presamplers.append(SORSampler(level_op, omega, npresmooth, FORWARD))
+                self.postsamplers.append(SORSampler(level_op, omega, npostsmooth, BACKWARD))
+            elif smoother == "SSOR":
+                self.presamplers.append(SSORSampler(level_op, omega, npresmooth))
+                self.postsamplers.append(SSORSampler(level_op, omega, npostsmooth))
+            else:
+                raise ValueError(f"invalid sampler '{smoother}'")
+
+        coarse_op = self.hierarchy.operators[-1]
+        if coarse_solver.lower() == "cholesky":
+            # The reference switches sparse/dense factorisation here
+            # (multigridmc_sampler.cc:52-63); on TPU the coarse level is tiny and
+            # must stay jittable inside the cycle, so both choices map to the
+            # dense on-device factorisation (distributionally identical).
+            self.coarse_sampler = DenseCholeskySampler(coarse_op)
+        elif coarse_solver.upper() == "SSOR":
+            self.coarse_sampler = SSORSampler(coarse_op, omega, ncoarsesmooth)
+        else:
+            raise ValueError(f"invalid coarse sampler '{coarse_solver}'")
+
+        if verbose > 0:
+            for level, level_op in enumerate(self.hierarchy.operators):
+                print(f"  level {level} lattice : {level_op.lattice.get_info()}")
+
+    def _sample(self, level: int, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
+        """Recursive stochastic cycle (``multigridmc_sampler.cc:103-130``),
+        unrolled at trace time."""
+        if level == self.nlevel - 1:
+            return self.coarse_sampler.apply(key, f, x)
+        op = self.hierarchy.operators[level]
+        ncycle = self.cycle if level > 0 else 1
+        for j in range(ncycle):
+            kpre, kcoarse, kpost = jax.random.split(jax.random.fold_in(key, j), 3)
+            x = self.presamplers[level].apply(kpre, f, x)
+            r = f - op.apply(x)
+            f_coarse = restrict(r, dim=op.lattice.dim)
+            x_coarse = jnp.zeros_like(f_coarse)
+            x_coarse = self._sample(level + 1, kcoarse, f_coarse, x_coarse)
+            x = prolongate_add(self.coarse_scaling, x_coarse, x, dim=op.lattice.dim)
+            x = self.postsamplers[level].apply(kpost, f, x)
+        return x
+
+    def apply(self, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
+        """One MGMC step: chain state x is carried, not zeroed
+        (``multigridmc_sampler.cc:133-139``)."""
+        return self._sample(0, key, f, x)

@@ -1,0 +1,107 @@
+"""Multigrid hierarchy and the deterministic multigrid preconditioner.
+
+TPU-native counterpart of ``src/preconditioner/multigrid_preconditioner.{hh,cc}``
+and the hierarchy-construction idiom shared with the MGMC sampler
+(``src/sampler/multigridmc_sampler.cc:8-100``): per level a Galerkin-coarsened
+operator, a forward pre-smoother and a backward post-smoother; the coarsest level
+gets a dense Cholesky solve (coarse lattices are tiny, so a dense on-device
+factorisation replaces the reference's sparse CholMod path).
+
+The recursive V/W-cycle (``multigrid_preconditioner.cc:74-101``) is unrolled at
+trace time over the static number of levels, producing one fused XLA computation
+per cycle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.coarsen import galerkin_coarsen
+from ..ops.intergrid import prolongate_add, restrict
+from ..ops.stencil import StencilOperator
+from ..smoothers import BACKWARD, FORWARD, SORSmoother, SSORSmoother
+from .cholesky import DenseCholeskySolver
+
+
+class MultigridHierarchy:
+    """Level stack of Galerkin-coarsened operators (cf.
+    ``multigridmc_sampler.cc:76-99``)."""
+
+    def __init__(self, op: StencilOperator, nlevel: int):
+        if nlevel < 1:
+            raise ValueError("nlevel must be >= 1")
+        ops: List[StencilOperator] = [op]
+        for level in range(1, nlevel):
+            ops.append(galerkin_coarsen(ops[-1]))
+        self.operators = ops
+        self.nlevel = nlevel
+
+    def __len__(self) -> int:
+        return self.nlevel
+
+
+class MultigridPreconditioner:
+    """Deterministic multigrid V/W-cycle preconditioner
+    (``multigrid_preconditioner.cc:8-109``).
+
+    Parameters mirror ``MultigridParameters`` (``parameters.hh:145-174``):
+    smoother ("SOR" forward-pre / backward-post, or "SSOR" both), npresmooth,
+    npostsmooth, cycle (1=V, 2=W), coarse_scaling.
+    """
+
+    def __init__(
+        self,
+        op: StencilOperator,
+        nlevel: int,
+        smoother: str = "SOR",
+        npresmooth: int = 1,
+        npostsmooth: int = 1,
+        omega: float = 1.0,
+        cycle: int = 1,
+        coarse_scaling: float = 1.0,
+        hierarchy: Optional[MultigridHierarchy] = None,
+    ):
+        self.hierarchy = hierarchy or MultigridHierarchy(op, nlevel)
+        self.cycle = int(cycle)
+        self.coarse_scaling = float(coarse_scaling)
+        smoother = smoother.upper()
+        self.presmoothers = []
+        self.postsmoothers = []
+        for level_op in self.hierarchy.operators:
+            if smoother == "SOR":
+                self.presmoothers.append(SORSmoother(level_op, omega, npresmooth, FORWARD))
+                self.postsmoothers.append(SORSmoother(level_op, omega, npostsmooth, BACKWARD))
+            elif smoother == "SSOR":
+                self.presmoothers.append(SSORSmoother(level_op, omega, npresmooth))
+                self.postsmoothers.append(SSORSmoother(level_op, omega, npostsmooth))
+            else:
+                raise ValueError(f"unknown smoother '{smoother}'")
+        # The reference hard-forces a Cholesky coarse solve with a warning
+        # (multigrid_preconditioner.cc:41-45); coarse lattices are tiny so a dense
+        # on-device factorisation is the TPU-native equivalent.
+        self.coarse_solver = DenseCholeskySolver(self.hierarchy.operators[-1])
+
+    def _solve(self, level: int, b: jax.Array) -> jax.Array:
+        """Recursive cycle, unrolled at trace time; x is zero-initialised at every
+        level entry (``multigrid_preconditioner.cc:74-101``)."""
+        nlevel = self.hierarchy.nlevel
+        op = self.hierarchy.operators[level]
+        x = jnp.zeros_like(b)
+        if level == nlevel - 1:
+            return self.coarse_solver.apply(b)
+        ncycle = self.cycle if level > 0 else 1
+        for _ in range(ncycle):
+            x = self.presmoothers[level].apply(b, x)
+            r = b - op.apply(x)
+            b_coarse = restrict(r, dim=op.lattice.dim)
+            x_coarse = self._solve(level + 1, b_coarse)
+            x = prolongate_add(self.coarse_scaling, x_coarse, x, dim=op.lattice.dim)
+            x = self.postsmoothers[level].apply(b, x)
+        return x
+
+    def apply(self, b: jax.Array) -> jax.Array:
+        """One multigrid cycle applied to b (x implicitly zero-initialised)."""
+        return self._solve(0, b)

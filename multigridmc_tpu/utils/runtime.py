@@ -1,0 +1,33 @@
+"""Runtime platform / precision selection for drivers and benchmarks.
+
+The reference computes everything in float64 on CPU.  On TPU, float32 is the
+native fast path (float64 is software-emulated), so drivers default to float64
+for bitwise-comparable parity runs but can be switched via environment:
+
+* ``MGMC_PLATFORM=cpu|tpu|axon``  - force the JAX platform (the session
+  environment may pin an experimental TPU plugin, which only
+  ``jax.config.update('jax_platforms', ...)`` can override);
+* ``MGMC_X64=0|1``                - disable/enable float64 (default: enabled on
+  CPU, disabled on TPU platforms).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def configure_runtime(default_x64: bool = True) -> None:
+    plat = os.environ.get("MGMC_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    x64_env = os.environ.get("MGMC_X64")
+    if x64_env is not None:
+        jax.config.update("jax_enable_x64", x64_env not in ("0", "false", ""))
+    else:
+        try:
+            platform = jax.default_backend()
+        except Exception:
+            platform = "cpu"
+        jax.config.update("jax_enable_x64", default_x64 and platform == "cpu")

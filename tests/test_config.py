@@ -1,0 +1,88 @@
+"""Config-system tests: parse the reference's own template config files
+(``parameters_template.cfg`` / ``measurements_template.cfg``) unchanged."""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from multigridmc_tpu.utils.config import load_config, parse_config
+
+TEMPLATE = textwrap.dedent(
+    """
+    // comment
+    general = {
+        dim = 2;
+        do_cholesky = true;
+        do_multigridmc = true;
+        operator = "posterior";
+    }
+    lattice = {
+        nx = 32;
+        ny = 32;
+        nz = 32;
+    }
+    multigrid = {
+        smoother = "SOR";
+        nlevel = 4;
+        cycle = 2;
+        omega = 1.0;
+    }
+    sampling = {
+        timeseries = {
+            nsamples = 10000;
+            nwarmup = 1000;
+        }
+        convergence = {
+            nsteps = 16;
+            nsamples = 1000;
+        }
+    }
+    measurements = {
+        radius = 0.0;
+        sample_location = [0.5, 0.5];
+        variance_scaling = 1.0;
+        measure_global = false;
+        filename = "";
+    }
+    """
+)
+
+
+def test_parse_basic():
+    raw = parse_config(TEMPLATE)
+    assert raw["general"]["dim"] == 2
+    assert raw["general"]["do_cholesky"] is True
+    assert raw["general"]["operator"] == "posterior"
+    assert raw["lattice"]["nx"] == 32
+    assert raw["multigrid"]["cycle"] == 2
+    assert raw["multigrid"]["omega"] == 1.0
+    assert raw["sampling"]["timeseries"]["nsamples"] == 10000
+    assert raw["measurements"]["sample_location"] == [0.5, 0.5]
+
+
+def test_load_reference_template(tmp_path):
+    """The reference's shipped template parses unchanged."""
+    import shutil
+
+    shutil.copy("/root/reference/parameters_template.cfg", tmp_path / "params.cfg")
+    shutil.copy(
+        "/root/reference/measurements_template.cfg", tmp_path / "measurements_template.cfg"
+    )
+    config = load_config(tmp_path / "params.cfg")
+    assert config.general.dim == 2
+    assert config.general.do_cholesky is True
+    assert config.lattice.nx == 32
+    assert config.multigrid.nlevel == 4
+    assert config.multigrid.cycle == 2
+    assert config.sampling.nsamples == 10000
+    assert config.sampling.nwarmup == 1000
+    assert config.prior.pdemodel == "shiftedlaplace_fd"
+    assert config.constant_correlationlength.Lambda == 0.2
+    m = config.measurements
+    assert m.n == 8
+    assert m.measurement_locations.shape == (8, 2)
+    np.testing.assert_allclose(m.sample_location, [0.5, 0.5])
+    assert len(m.mean) == 8 and len(m.variance) == 8
+    assert m.radius == 0.0
+    assert m.measure_global is False

@@ -1,0 +1,185 @@
+"""Sampler statistical tests, mirroring ``src/sampler/test_sampler.hh:163-323``.
+
+The oracle is the reference's own: draw many samples, compare the chain mean to
+``Q^{-1} f`` and the sample covariance to ``Q^{-1}`` in the L-infinity norm
+(``test_sampler.hh:113-153``).  On TPU the chain batches: C independent chains x
+S steps replace one long chain - the stationary distribution is identical and
+independent chains only *reduce* estimator autocorrelation.
+
+Fixture: the reference's ``TestOperator1d`` (``test_sampler.hh:47-88``) - an
+8-cell 1d lattice (7 interior vertices), tridiag(-1, 6, -1), optionally with the
+rank-2 update B[3,0]=B[4,1]=10, Sigma=diag(4.2, 9.3); and the 2d FEM posterior
+of ``TestMultigridMCSampler2d`` (``test_sampler.hh:266-320``).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multigridmc_tpu.lattice import Lattice
+from multigridmc_tpu.models.correlation import PeriodicCorrelationLengthModel
+from multigridmc_tpu.models.posterior import MeasurementParameters, measured_operator
+from multigridmc_tpu.models.prior import shiftedlaplace_fem
+from multigridmc_tpu.ops.stencil import LowRank, StencilOperator
+from multigridmc_tpu.samplers.cholesky import BandCholeskySampler, DenseCholeskySampler
+from multigridmc_tpu.samplers.mgmc import MultigridMCSampler
+from multigridmc_tpu.samplers.sor import SSORSampler
+
+
+def make_operator_1d(lowrank: bool) -> StencilOperator:
+    """cf. ``TestOperator1d`` (``test_sampler.hh:47-88``)."""
+    lattice = Lattice((8,))
+    n = lattice.nvertex  # 7
+    coeffs = jnp.stack(
+        [
+            jnp.full((n,), -1.0),  # offset -1
+            jnp.full((n,), 6.0),  # offset 0
+            jnp.full((n,), -1.0),  # offset +1
+        ]
+    )
+    lr = None
+    if lowrank:
+        B = np.zeros((2, n))
+        B[0, 3] = 10.0
+        B[1, 4] = 10.0
+        lr = LowRank(B=jnp.asarray(B), Sigma_diag=jnp.asarray([4.2, 9.3]))
+    return StencilOperator(
+        coeffs=coeffs, offsets=((-1,), (0,), (1,)), lattice=lattice, lowrank=lr
+    ).normalized()
+
+
+def mean_covariance_error(op, sampler, nchains, nwarmup, nsteps, seed=1342517):
+    """TPU-batched version of ``SamplerTest::mean_covariance_error``
+    (``test_sampler.hh:113-153``)."""
+    n = op.lattice.nvertex
+    rng = np.random.default_rng(seed)
+    mean_exact = rng.uniform(size=n)
+    Q = op.to_dense()
+    f_flat = Q @ mean_exact
+    f = jnp.asarray(f_flat.reshape(op.lattice.vshape))
+    cov_exact = np.linalg.inv(Q)
+
+    key = jax.random.PRNGKey(seed)
+    x = jnp.zeros((nchains,) + op.lattice.vshape)
+
+    @jax.jit
+    def warmup(x, key):
+        def body(i, x):
+            return sampler.apply(jax.random.fold_in(key, i), f, x)
+
+        return jax.lax.fori_loop(0, nwarmup, body, x)
+
+    @jax.jit
+    def collect(x, key):
+        def step(carry, i):
+            x, sx, sxx = carry
+            x = sampler.apply(jax.random.fold_in(key, i), f, x)
+            xf = x.reshape(nchains, n)
+            sx = sx + xf.sum(axis=0)
+            sxx = sxx + xf.T @ xf
+            return (x, sx, sxx), 0.0
+
+        (x, sx, sxx), _ = jax.lax.scan(
+            step, (x, jnp.zeros((n,)), jnp.zeros((n, n))), jnp.arange(nsteps)
+        )
+        return sx, sxx
+
+    x = warmup(x, jax.random.fold_in(key, 0))
+    sx, sxx = collect(x, jax.random.fold_in(key, 1))
+    total = nchains * nsteps
+    Ex = np.asarray(sx) / total
+    Exx = np.asarray(sxx) / total
+    cov = Exx - np.outer(Ex, Ex)
+    error_mean = np.max(np.abs(Ex - mean_exact))
+    error_cov = np.max(np.abs(cov - cov_exact))
+    return error_mean, error_cov
+
+
+@pytest.mark.parametrize("lowrank", [False, True], ids=["prior", "lowrank"])
+def test_dense_cholesky_sampler_1d(lowrank):
+    """cf. ``TestDenseCholeskySampler1d`` - tolerance 2e-3 at ~500k samples."""
+    op = make_operator_1d(lowrank)
+    sampler = DenseCholeskySampler(op)
+    em, ec = mean_covariance_error(op, sampler, nchains=2048, nwarmup=2, nsteps=250)
+    assert em < 2e-3 and ec < 2e-3, (em, ec)
+
+
+@pytest.mark.parametrize("lowrank", [False, True], ids=["prior", "lowrank"])
+def test_band_cholesky_sampler_1d(lowrank):
+    """cf. ``TestSparseCholeskySampler1d`` (host band-Cholesky backend).
+
+    The band sampler is not jittable, so fewer samples / looser tolerance.
+    """
+    op = make_operator_1d(lowrank)
+    sampler = BandCholeskySampler(op)
+    n = op.lattice.nvertex
+    rng = np.random.default_rng(1342517)
+    mean_exact = rng.uniform(size=n)
+    Q = op.to_dense()
+    f = jnp.asarray((Q @ mean_exact).reshape(op.lattice.vshape))
+    cov_exact = np.linalg.inv(Q)
+    key = jax.random.PRNGKey(0)
+    nchains, nsteps = 4096, 30  # direct sampler: iid draws, no warmup needed
+    x = jnp.zeros((nchains,) + op.lattice.vshape)
+    sx = np.zeros(n)
+    sxx = np.zeros((n, n))
+    for i in range(nsteps):
+        x = sampler.apply(jax.random.fold_in(key, i), jnp.broadcast_to(f, x.shape), x)
+        xf = np.asarray(x).reshape(nchains, n)
+        sx += xf.sum(axis=0)
+        sxx += xf.T @ xf
+    total = nchains * nsteps
+    Ex, Exx = sx / total, sxx / total
+    cov = Exx - np.outer(Ex, Ex)
+    assert np.max(np.abs(Ex - mean_exact)) < 4e-3
+    assert np.max(np.abs(cov - cov_exact)) < 4e-3
+
+
+@pytest.mark.parametrize("lowrank", [False, True], ids=["prior", "lowrank"])
+def test_ssor_sampler_1d(lowrank):
+    """cf. ``TestSSORSampler1d``: omega=0.8, tolerance 2e-3 at ~500k samples."""
+    op = make_operator_1d(lowrank)
+    sampler = SSORSampler(op, omega=0.8)
+    em, ec = mean_covariance_error(op, sampler, nchains=2048, nwarmup=50, nsteps=250)
+    assert em < 2e-3 and ec < 2e-3, (em, ec)
+
+
+@pytest.mark.parametrize("lowrank", [False, True], ids=["prior", "lowrank"])
+def test_multigridmc_sampler_1d(lowrank):
+    """cf. ``TestMultigridMCSampler1d``: 3 levels, SSOR smoother, Cholesky coarse
+    sampler, tolerance 2e-3 at ~500k samples."""
+    op = make_operator_1d(lowrank)
+    sampler = MultigridMCSampler(
+        op, nlevel=3, smoother="SSOR", coarse_solver="Cholesky", omega=1.0, cycle=1
+    )
+    em, ec = mean_covariance_error(op, sampler, nchains=2048, nwarmup=20, nsteps=250)
+    assert em < 2e-3 and ec < 2e-3, (em, ec)
+
+
+def make_posterior_2d(nx=8):
+    """cf. ``TestMultigridMCSampler2d`` fixture (``test_sampler.hh:266-301``)."""
+    lattice = Lattice((nx, nx))
+    model = PeriodicCorrelationLengthModel(Lambda_min=1.2, Lambda_max=2.3)
+    prior = shiftedlaplace_fem(lattice, model)
+    rng = np.random.default_rng(1212417)
+    params = MeasurementParameters(
+        measurement_locations=np.array(
+            [[0.25, 0.25], [0.25, 0.75], [0.75, 0.25], [0.75, 0.75]]
+        ),
+        mean=np.zeros(4),
+        variance=1.0 + 2.0 * rng.uniform(size=4),
+        variance_scaling=1e-4,
+        radius=0.05,
+    )
+    return measured_operator(prior, params)
+
+
+def test_multigridmc_sampler_2d():
+    """cf. ``TestMultigridMCSampler2d`` fast tier: 8x8 lattice, ~400k samples."""
+    op = make_posterior_2d(8)
+    sampler = MultigridMCSampler(
+        op, nlevel=3, smoother="SSOR", coarse_solver="Cholesky", omega=1.0, cycle=1
+    )
+    em, ec = mean_covariance_error(op, sampler, nchains=1024, nwarmup=20, nsteps=400)
+    assert em < 4e-3 and ec < 4e-3, (em, ec)
