@@ -1,0 +1,169 @@
+"""Benchmark: MGMC sampling throughput on TPU vs the reference-equivalent CPU baseline.
+
+Prints ONE JSON line:
+    {"metric": "mgmc_samples_per_sec", "value": ..., "unit": "samples/s", "vs_baseline": ...}
+
+Problem (BASELINE.json config 2/3 scaled to production size): 2d 256x256 lattice,
+shifted-Laplace FD prior (Lambda=0.2), posterior with 8 point measurements
+(variance ~1e-6, like measurements_template.cfg), MGMC with 6 levels, W-cycle,
+SOR smoothing - the flagship sampler of the reference (``src/driver_mgmc.cc``).
+
+* TPU path: float32, batched independent chains (the TPU-native way to produce
+  samples; every chain is a statistically valid MCMC chain) + single-chain
+  latency for a like-for-like comparison.
+* Baseline: ``native/baseline_mgmc.cc`` - a single-core C++ re-creation of the
+  reference's CSR hot path (the reference itself cannot be built here: its
+  Eigen/libconfig deps are unavailable offline), float64 like the reference,
+  same hierarchy exported via ``multigridmc_tpu.utils.baseline_export``.
+  Measured once and cached in BASELINE_MEASURED.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+BASELINE_CACHE = REPO / "BASELINE_MEASURED.json"
+
+NX = 256
+NLEVEL = 6
+CYCLE = 2
+NCHAINS = 128
+NSTEPS_BATCHED = 50
+NSTEPS_SINGLE = 100
+NWARMUP = 10
+
+
+def build_problem(dtype=None):
+    import jax.numpy as jnp
+
+    from multigridmc_tpu.lattice import Lattice
+    from multigridmc_tpu.models.correlation import ConstantCorrelationLengthModel
+    from multigridmc_tpu.models.posterior import MeasurementParameters, measured_operator
+    from multigridmc_tpu.models.prior import shiftedlaplace_fd
+
+    lattice = Lattice((NX, NX))
+    prior = shiftedlaplace_fd(lattice, ConstantCorrelationLengthModel(0.2), dtype=dtype)
+    rng = np.random.default_rng(20260816)
+    params = MeasurementParameters(
+        measurement_locations=rng.uniform(0.1, 0.9, size=(8, 2)),
+        mean=rng.normal(2.0, 1.0, size=8),
+        variance=1e-6 * (1.0 + rng.uniform(size=8)),
+    )
+    return measured_operator(prior, params)
+
+
+def measure_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from multigridmc_tpu.samplers.mgmc import MultigridMCSampler
+
+    op = build_problem()
+    dtype = op.coeffs.dtype
+    sampler = MultigridMCSampler(
+        op, nlevel=NLEVEL, smoother="SOR", coarse_solver="Cholesky",
+        omega=1.0, cycle=CYCLE,
+    )
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.uniform(size=op.vshape), dtype=dtype)
+
+    def chain(x, key, nsteps):
+        def step(x, k):
+            return sampler.apply(jax.random.fold_in(key, k), f, x), 0.0
+
+        x, _ = jax.lax.scan(step, x, jnp.arange(nsteps))
+        return x
+
+    results = {}
+    # single chain
+    x1 = jnp.zeros(op.vshape, dtype=dtype)
+    run1 = jax.jit(lambda x, key: chain(x, key, NSTEPS_SINGLE))
+    key = jax.random.PRNGKey(1)
+    x1 = run1(x1, key)  # compile + warmup
+    jax.block_until_ready(x1)
+    t0 = time.perf_counter()
+    x1 = run1(x1, jax.random.PRNGKey(2))
+    jax.block_until_ready(x1)
+    dt = time.perf_counter() - t0
+    results["single_chain_ms_per_sample"] = 1e3 * dt / NSTEPS_SINGLE
+    results["single_chain_samples_per_sec"] = NSTEPS_SINGLE / dt
+
+    # batched chains
+    xb = jnp.zeros((NCHAINS,) + op.vshape, dtype=dtype)
+    runb = jax.jit(lambda x, key: chain(x, key, NSTEPS_BATCHED))
+    xb = runb(xb, jax.random.PRNGKey(3))
+    jax.block_until_ready(xb)
+    t0 = time.perf_counter()
+    xb = runb(xb, jax.random.PRNGKey(4))
+    jax.block_until_ready(xb)
+    dt = time.perf_counter() - t0
+    results["batched_samples_per_sec"] = NCHAINS * NSTEPS_BATCHED / dt
+    results["nchains"] = NCHAINS
+
+    # sanity: finite samples
+    assert bool(jnp.isfinite(xb).all()), "non-finite samples"
+    results["platform"] = jax.default_backend()
+    results["dtype"] = str(dtype)
+    return results
+
+
+def measure_baseline():
+    """Compile and run the native reference-equivalent baseline in a CPU/f64
+    subprocess (the reference is single-core float64); cached across runs."""
+    if BASELINE_CACHE.exists():
+        cached = json.loads(BASELINE_CACHE.read_text())
+        if cached.get("nx") == NX and cached.get("nlevel") == NLEVEL:
+            return cached
+    out = subprocess.run(
+        [sys.executable, "-m", "multigridmc_tpu.utils.baseline_export",
+         str(NX), str(NLEVEL), str(CYCLE), "5", "50"],
+        check=True, capture_output=True, text=True, cwd=str(REPO), timeout=1200,
+    )
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    BASELINE_CACHE.write_text(json.dumps(result, indent=1))
+    return result
+
+
+def main():
+    os.environ.setdefault("MGMC_X64", "0")
+    from multigridmc_tpu.utils.runtime import configure_runtime
+
+    configure_runtime(default_x64=False)
+
+    baseline = None
+    try:
+        baseline = measure_baseline()
+    except Exception as e:  # baseline failure must not kill the bench
+        print(f"# baseline measurement failed: {e}", file=sys.stderr)
+
+    tpu = measure_tpu()
+
+    value = tpu["batched_samples_per_sec"]
+    vs_baseline = None
+    if baseline and baseline.get("samples_per_sec"):
+        vs_baseline = value / baseline["samples_per_sec"]
+
+    record = {
+        "metric": "mgmc_samples_per_sec",
+        "value": round(value, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
+        "detail": {
+            "problem": f"2d {NX}x{NX} posterior, {NLEVEL}-level W-cycle MGMC, SOR",
+            "tpu": {k: (round(v, 4) if isinstance(v, float) else v) for k, v in tpu.items()},
+            "baseline_cpu": baseline,
+        },
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

@@ -68,18 +68,28 @@ def galerkin_coarsen(op: StencilOperator) -> StencilOperator:
     def rap(v):
         return restrict(op.apply_stencil(prolongate(v, fine.vshape)))
 
-    W = jax.vmap(rap)(probes)  # (p^d, *cvshape)
+    # jit: setup may run against a remote device where eager per-primitive
+    # dispatch is dominated by round-trip latency
+    W = jax.jit(jax.vmap(rap))(probes)  # (p^d, *cvshape)
 
     # Extract coefficients: coeff_o[j] = W[class((j + o) mod p)][j].
     # W has shape (p^d, *cvshape); select along axis 0 per element.
     offsets = sorted(itertools.product(range(-s_c, s_c + 1), repeat=dim))
-    coeffs = []
+    cls_all = []
     for off in offsets:
         cls = np.zeros(cvshape, dtype=np.int64)
         for ax in range(dim):
             cls = cls * p + (idx_grids[ax] + off[ax]) % p
-        coeffs.append(jnp.take_along_axis(W, jnp.asarray(cls)[None], axis=0)[0])
-    coeffs = jnp.stack(coeffs)
+        cls_all.append(cls)
+    cls_all = jnp.asarray(np.stack(cls_all))  # (n_off, *cvshape)
+
+    @jax.jit
+    def extract(W, cls_all):
+        return jax.vmap(
+            lambda cls: jnp.take_along_axis(W, cls[None], axis=0)[0]
+        )(cls_all)
+
+    coeffs = extract(W, cls_all)
 
     lowrank = None
     if op.lowrank is not None:

@@ -35,6 +35,9 @@ class Coloring:
     n_colors: int
     #: integer colour per vertex, shape = vshape
     field: np.ndarray
+    #: per-axis weights of the linear-mod colouring c = sum_d w_d i_d mod K
+    #: (array-axis order); lets kernels regenerate the colour field from iota
+    weights: tuple = ()
 
     def masks(self, dtype=np.float64) -> np.ndarray:
         """One-hot colour masks, shape (n_colors, *vshape)."""
@@ -83,5 +86,9 @@ def coloring_for(offsets: Tuple[Tuple[int, ...], ...], vshape: Tuple[int, ...]) 
     candidates.sort(key=lambda wk: wk[1])
     for weights, K in candidates:
         if _valid(offsets, weights, K):
-            return Coloring(n_colors=K, field=_linear_coloring(vshape, weights, K))
+            return Coloring(
+                n_colors=K,
+                field=_linear_coloring(vshape, weights, K),
+                weights=tuple(weights),
+            )
     raise ValueError(f"no valid colouring found for offsets {offsets}")

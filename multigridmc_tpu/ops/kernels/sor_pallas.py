@@ -1,0 +1,201 @@
+"""Fused multi-colour SOR sweep kernels (Pallas, TPU).
+
+The pure-JAX colored sweep costs one full stencil application per colour plus a
+separate pass for noise generation; XLA emits ~3-4 HBM passes per colour phase.
+This kernel fuses an ENTIRE sweep (all colour phases, optionally including the
+Gibbs noise) into one VMEM-resident pass: load x, b/f and the stencil
+coefficients once, run the colour phases on-chip, write x back once.  For the
+stochastic sweep the noise is drawn with the on-chip PRNG
+(``pltpu.prng_random_bits`` + Box-Muller), eliminating the host-side
+``jax.random.normal`` passes.
+
+Exactness: the kernel performs the *same* colour-ordered splitting as
+:func:`multigridmc_tpu.smoothers.sor_sweep` - every colour phase sees the
+updated values of previously swept colours because the whole grid lives in VMEM
+(this is why the kernel is single-tile: tiling with stale halos would change the
+splitting and bias the sampler's stationary covariance).  Grids up to ~512^2 in
+float32 fit; larger grids fall back to the pure-JAX path.
+
+Colour masks are generated in-kernel from ``broadcasted_iota`` (linear-mod
+colouring, cf. :mod:`multigridmc_tpu.ops.coloring`) - no mask traffic from HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 6.283185307179586
+
+
+def _normal_from_bits(shape):
+    """Standard normals via Box-Muller from the on-chip PRNG."""
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    eight = jnp.uint32(8)
+
+    def to_unit(bits):
+        # top 24 bits as int32 (Mosaic cannot cast uint32->f32 directly)
+        hi = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32), eight)
+        return pltpu.bitcast(hi, jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0)
+
+    # uniform in (0, 1]
+    u1 = to_unit(b1) + (1.0 / 16777216.0)
+    u2 = to_unit(b2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def _color_field(shape, weights, n_colors):
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (weights[0] * rows + weights[1] * cols) % n_colors
+
+
+def _sweep_on_scratch(
+    coeffs, b, x, xp_ref, offsets, diag_index, omega, order, color_weights, n_colors, pad
+):
+    """Shared in-VMEM sweep using a padded scratch ref; returns updated x.
+
+    The padded copy lives in a VMEM scratch Ref because Mosaic has no value-level
+    dynamic_update_slice; static ref slices lower to vector shifts.
+    """
+    H, W = x.shape
+    diag = coeffs[diag_index]
+    color = _color_field((H, W), color_weights, n_colors)
+
+    xp_ref[:] = jnp.zeros((H + 2 * pad, W + 2 * pad), x.dtype)
+    xp_ref[pad:pad + H, pad:pad + W] = x
+
+    def apply_stencil():
+        acc = None
+        for k, (oy, ox) in enumerate(offsets):
+            t = coeffs[k] * xp_ref[pad + oy:pad + oy + H, pad + ox:pad + ox + W]
+            acc = t if acc is None else acc + t
+        return acc
+
+    for c in order:
+        ax = apply_stencil()
+        upd = omega * (b - ax) / diag
+        x = x + jnp.where(color == c, upd, jnp.zeros_like(upd))
+        xp_ref[pad:pad + H, pad:pad + W] = x
+    return x
+
+
+def _deterministic_kernel(
+    coeffs_ref, b_ref, x_ref, out_ref, xp_ref,
+    *, offsets, diag_index, omega, order, color_weights, n_colors, pad,
+):
+    out_ref[:] = _sweep_on_scratch(
+        coeffs_ref[:], b_ref[:], x_ref[:], xp_ref,
+        offsets, diag_index, omega, order, color_weights, n_colors, pad,
+    )
+
+
+def _stochastic_kernel(
+    seed_ref, coeffs_ref, f_ref, x_ref, out_ref, xp_ref,
+    *, offsets, diag_index, omega, order, color_weights, n_colors, pad,
+):
+    pltpu.prng_seed(seed_ref[0])
+    coeffs = coeffs_ref[:]
+    diag = coeffs[diag_index]
+    xi = _normal_from_bits(f_ref.shape)
+    # c = f + sqrt(D (2-omega)/omega) xi   (sor_sampler.cc:39-46)
+    c = f_ref[:] + jnp.sqrt(diag * ((2.0 - omega) / omega)) * xi.astype(f_ref.dtype)
+    out_ref[:] = _sweep_on_scratch(
+        coeffs, c, x_ref[:], xp_ref, offsets, diag_index, omega, order,
+        color_weights, n_colors, pad,
+    )
+
+
+def _vmem_bytes(n_offsets, H, W, pad, itemsize=4):
+    return (n_offsets + 4) * (H + 2 * pad) * (W + 2 * pad) * itemsize
+
+
+MAX_VMEM_BYTES = 100 * 1024 * 1024  # allow compiler-managed spill up to ~HBM scratch
+
+
+def supports(vshape, dtype, n_offsets, pad) -> bool:
+    """Whether the single-tile fused kernel can run this problem."""
+    if len(vshape) != 2:
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    H, W = vshape
+    return _vmem_bytes(n_offsets, H, W, pad) <= 14 * 1024 * 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "diag_index", "omega", "order", "color_weights", "n_colors", "interpret",
+    ),
+)
+def fused_sor_sweep(
+    coeffs, b, x,
+    *, offsets, diag_index, omega, order, color_weights, n_colors, interpret=False,
+):
+    """One deterministic multi-colour SOR sweep, fully fused."""
+    pad = max(max(abs(o) for o in off) for off in offsets)
+    kern = functools.partial(
+        _deterministic_kernel,
+        offsets=offsets, diag_index=diag_index, omega=omega, order=order,
+        color_weights=color_weights, n_colors=n_colors, pad=pad,
+    )
+    H, W = x.shape
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), x.dtype)],
+        interpret=interpret,
+    )(coeffs, b, x)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "diag_index", "omega", "order", "color_weights", "n_colors", "interpret",
+    ),
+)
+def fused_gibbs_sweep(
+    seed, coeffs, f, x,
+    *, offsets, diag_index, omega, order, color_weights, n_colors, interpret=False,
+):
+    """One stochastic (Gibbs) multi-colour SOR sweep with on-chip noise.
+
+    ``seed`` is an int32 scalar; the caller derives it from the step's PRNG key
+    so chains remain reproducible.
+    """
+    pad = max(max(abs(o) for o in off) for off in offsets)
+    kern = functools.partial(
+        _stochastic_kernel,
+        offsets=offsets, diag_index=diag_index, omega=omega, order=order,
+        color_weights=color_weights, n_colors=n_colors, pad=pad,
+    )
+    H, W = x.shape
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), x.dtype)],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), coeffs, f, x)

@@ -67,9 +67,19 @@ def field_spec(dim: int, mesh: Mesh, batch_axes: int = 0) -> P:
 
 
 def shard_field(x, lattice_dim: int, mesh: Mesh):
-    """Device-put a field with the canonical lattice sharding."""
+    """Materialise a field with the canonical lattice sharding.
+
+    Interior-vertex grids have odd extents (n - 1), which rarely divide the mesh
+    evenly; ``jax.device_put`` rejects uneven shardings but GSPMD handles them
+    (with internal padding) through sharding constraints, so we route through a
+    jitted identity.
+    """
     batch_axes = x.ndim - lattice_dim
-    return jax.device_put(x, NamedSharding(mesh, field_spec(lattice_dim, mesh, batch_axes)))
+    ns = NamedSharding(mesh, field_spec(lattice_dim, mesh, batch_axes))
+    try:
+        return jax.device_put(x, ns)
+    except ValueError:
+        return jax.jit(lambda v: jax.lax.with_sharding_constraint(v, ns))(x)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -27,6 +27,7 @@ block-triangular in the colour order.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -88,7 +89,7 @@ def compute_B_bar(
     """Precompute the Woodbury correction factor ``B_bar`` for one direction
     (cf. ``sor_smoother.cc:17-37``).  Returns shape ``(m, *vshape)``."""
     lr = op.lowrank
-    Y = jax.vmap(lambda col: splitting_solve(op, masks, omega, order, col))(lr.B)
+    Y = jax.jit(jax.vmap(lambda col: splitting_solve(op, masks, omega, order, col)))(lr.B)
     # S = Sigma + B^T M^{-1} B   (m x m)
     S = jnp.diag(lr.Sigma_diag) + jnp.einsum("m...,k...->mk", lr.B, Y)
     W = jnp.linalg.inv(S)
@@ -124,8 +125,33 @@ class SORSmoother:
             if op.lowrank is not None
             else None
         )
+        # fused Pallas sweep: single-tile 2d float32 grids on TPU (see
+        # ops/kernels/sor_pallas.py); opt out with MGMC_PALLAS=0
+        self._pallas_interpret = False
+        self.use_pallas = False
+        if os.environ.get("MGMC_PALLAS", "1") != "0" and len(op.vshape) == 2:
+            from .ops.kernels import sor_pallas
+
+            if sor_pallas.supports(op.vshape, op.coeffs.dtype, len(op.offsets), 
+                                   max(max(abs(o) for o in off) for off in op.offsets)):
+                backend = jax.default_backend()
+                if backend == "cpu" and os.environ.get("MGMC_PALLAS_INTERPRET", "0") == "1":
+                    self.use_pallas, self._pallas_interpret = True, True
+                elif backend != "cpu":
+                    self.use_pallas = True
 
     def sweep_stencil(self, b: jax.Array, x: jax.Array) -> jax.Array:
+        if self.use_pallas and x.ndim == 2:
+            from .ops.kernels.sor_pallas import fused_sor_sweep
+
+            return fused_sor_sweep(
+                self.op.coeffs, b, x,
+                offsets=self.op.offsets, diag_index=self.op.diag_index,
+                omega=self.omega, order=self.order,
+                color_weights=self.coloring.weights,
+                n_colors=self.coloring.n_colors,
+                interpret=self._pallas_interpret,
+            )
         return sor_sweep(self.op, self.masks, self.omega, self.order, b, x)
 
     def _lowrank_correct(self, x: jax.Array) -> jax.Array:

@@ -61,7 +61,7 @@ class VTKWriter:
                 full[(slice(1, -1),) * lat.dim] = phi
                 data = full.reshape(-1)
                 data = np.where(np.abs(data) < 1e-20, 0.0, data)
-                out.write("\n".join(f"{v:g}" for v in data))
+                out.write("\n".join(f"{v:.12g}" for v in data))
                 out.write("\n")
 
 

@@ -1,0 +1,72 @@
+"""Tests for QoIs, measurement generation, VTK output, and the runtime config."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multigridmc_tpu.lattice import Lattice
+from multigridmc_tpu.drivers.generate_measurements import (
+    format_config,
+    sample_points,
+)
+from multigridmc_tpu.qoi import DomainAverageQoI, LinearQoI, qoi_factory
+from multigridmc_tpu.utils.config import parse_config
+from multigridmc_tpu.utils.vtk import VTKWriter, write_vtk_circle
+
+
+def test_sample_points_separation():
+    pts = sample_points(9, 2, dmin=0.2)
+    assert pts.shape == (9, 2)
+    for i in range(9):
+        assert pts[i].min() >= 0.1 - 1e-12 and pts[i].max() <= 0.9 + 1e-12
+        for j in range(i):
+            assert np.linalg.norm(pts[i] - pts[j]) >= 0.2
+
+
+def test_generated_config_parses():
+    pts = sample_points(5, 2, dmin=0.15)
+    text = format_config(2, 4, pts[:-1], pts[-1], np.ones(4), np.full(4, 1e-6))
+    raw = parse_config(text)
+    assert raw["n"] == 4
+    assert len(raw["measurement_locations"]) == 8
+    assert len(raw["variance"]) == 4
+
+
+def test_qoi():
+    lat = Lattice((8, 8))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=lat.vshape))
+    w = jnp.asarray(rng.normal(size=lat.vshape))
+    q = LinearQoI(w)
+    np.testing.assert_allclose(float(q(x)), float(jnp.vdot(w, x)), rtol=1e-12)
+    avg = qoi_factory("domain_average", lat)
+    np.testing.assert_allclose(
+        float(avg(x)), float(x.sum()) * lat.cell_volume, rtol=1e-12
+    )
+
+
+def test_vtk_writer_2d(tmp_path):
+    lat = Lattice((4, 4))
+    rng = np.random.default_rng(1)
+    field = rng.normal(size=lat.vshape)
+    path = tmp_path / "out.vtk"
+    w = VTKWriter(str(path), lat)
+    w.add_state(field, "mean")
+    w.write()
+    text = path.read_text()
+    assert "DATASET STRUCTURED_POINTS" in text
+    assert "DIMENSIONS 5 5 1" in text
+    assert "SCALARS mean double 1" in text
+    values = [float(v) for v in text.split("LOOKUP_TABLE default\n")[1].split()]
+    assert len(values) == 25
+    # boundary zeros, interior matches (x fastest)
+    grid = np.asarray(values).reshape(5, 5)
+    assert np.all(grid[0] == 0) and np.all(grid[:, 0] == 0)
+    np.testing.assert_allclose(grid[1:-1, 1:-1], field, rtol=1e-6)
+
+
+def test_vtk_circle(tmp_path):
+    path = tmp_path / "circle.vtk"
+    write_vtk_circle([0.5, 0.5], 0.1, str(path))
+    text = path.read_text()
+    assert "POLYDATA" in text and "POINTS 100 double" in text
