@@ -36,8 +36,8 @@ NX = 256
 NLEVEL = 6
 CYCLE = 2
 NCHAINS = 128
-NSTEPS_BATCHED = 50
-NSTEPS_SINGLE = 100
+NSTEPS_BATCHED = 25
+NSTEPS_SINGLE = 40
 NWARMUP = 10
 
 
@@ -66,14 +66,19 @@ def measure_tpu():
 
     from multigridmc_tpu.samplers.mgmc import MultigridMCSampler
 
-    op = build_problem()
-    dtype = op.coeffs.dtype
-    sampler = MultigridMCSampler(
-        op, nlevel=NLEVEL, smoother="SOR", coarse_solver="Cholesky",
-        omega=1.0, cycle=CYCLE,
-    )
+    # assembly / Galerkin coarsening / Woodbury+Cholesky setup on the host CPU:
+    # eager per-primitive dispatch to a remote TPU is latency-bound (setup math
+    # is tiny); the jitted sampling step pulls the constants to the device once.
+    with jax.default_device(jax.devices("cpu")[0]):
+        op = build_problem()
+        dtype = op.coeffs.dtype
+        sampler = MultigridMCSampler(
+            op, nlevel=NLEVEL, smoother="SOR", coarse_solver="Cholesky",
+            omega=1.0, cycle=CYCLE,
+        )
+    dev = jax.devices()[0]
     rng = np.random.default_rng(0)
-    f = jnp.asarray(rng.uniform(size=op.vshape), dtype=dtype)
+    f = jax.device_put(jnp.asarray(rng.uniform(size=op.vshape), dtype=dtype), dev)
 
     def chain(x, key, nsteps):
         def step(x, k):
@@ -84,7 +89,7 @@ def measure_tpu():
 
     results = {}
     # single chain
-    x1 = jnp.zeros(op.vshape, dtype=dtype)
+    x1 = jax.device_put(jnp.zeros(op.vshape, dtype=dtype), dev)
     run1 = jax.jit(lambda x, key: chain(x, key, NSTEPS_SINGLE))
     key = jax.random.PRNGKey(1)
     x1 = run1(x1, key)  # compile + warmup
@@ -97,7 +102,7 @@ def measure_tpu():
     results["single_chain_samples_per_sec"] = NSTEPS_SINGLE / dt
 
     # batched chains
-    xb = jnp.zeros((NCHAINS,) + op.vshape, dtype=dtype)
+    xb = jax.device_put(jnp.zeros((NCHAINS,) + op.vshape, dtype=dtype), dev)
     runb = jax.jit(lambda x, key: chain(x, key, NSTEPS_BATCHED))
     xb = runb(xb, jax.random.PRNGKey(3))
     jax.block_until_ready(xb)

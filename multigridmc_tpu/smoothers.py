@@ -129,7 +129,12 @@ class SORSmoother:
         # ops/kernels/sor_pallas.py); opt out with MGMC_PALLAS=0
         self._pallas_interpret = False
         self.use_pallas = False
-        if os.environ.get("MGMC_PALLAS", "1") != "0" and len(op.vshape) == 2:
+        if (
+            os.environ.get("MGMC_PALLAS", "1") != "0"
+            and len(op.vshape) == 2
+            and min(op.vshape) >= 63  # tiny grids: XLA fusion is enough and each
+            # extra Mosaic kernel costs ~15 s compile on remote devices
+        ):
             from .ops.kernels import sor_pallas
 
             if sor_pallas.supports(op.vshape, op.coeffs.dtype, len(op.offsets), 

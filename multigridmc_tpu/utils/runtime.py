@@ -19,6 +19,13 @@ import jax
 
 
 def configure_runtime(default_x64: bool = True) -> None:
+    cache_dir = os.environ.get("MGMC_COMPILE_CACHE", "/root/repo/.jax_cache")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass
     plat = os.environ.get("MGMC_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)

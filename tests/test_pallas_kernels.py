@@ -99,7 +99,7 @@ def test_smoother_pallas_integration_interpret(monkeypatch):
     result matches the pure-JAX smoother."""
     monkeypatch.setenv("MGMC_PALLAS", "1")
     monkeypatch.setenv("MGMC_PALLAS_INTERPRET", "1")
-    op = make_op(nx=12)
+    op = make_op(nx=64)  # pallas path requires min(vshape) >= 63
     sm_pallas = SORSmoother(op, omega=1.0)
     assert sm_pallas.use_pallas
     monkeypatch.setenv("MGMC_PALLAS", "0")

@@ -11,7 +11,7 @@ from multigridmc_tpu.lattice import Lattice
 from multigridmc_tpu.models.correlation import ConstantCorrelationLengthModel
 from multigridmc_tpu.models.posterior import MeasurementParameters, measured_operator
 from multigridmc_tpu.models.prior import shiftedlaplace_fem
-from multigridmc_tpu.solvers.cholesky import DenseCholeskySolver
+from multigridmc_tpu.solvers.cholesky import BandCholeskySolver, DenseCholeskySolver
 from multigridmc_tpu.solvers.loop import CGSolver, IterativeSolverParameters, LoopSolver
 from multigridmc_tpu.solvers.multigrid import MultigridPreconditioner
 
@@ -91,3 +91,15 @@ def test_loop_solver_jit_matches_host():
     dev = LoopSolver(op, precond, params).solve_jit(b)
     assert host.converged and dev.converged
     np.testing.assert_allclose(np.asarray(host.x), np.asarray(dev.x), rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("op", [PRIOR, POSTERIOR], ids=["prior", "posterior"])
+def test_band_cholesky_solver(op):
+    """Band ("sparse") direct solve matches the dense one to ~1e-11."""
+    rng = np.random.default_rng(6)
+    x_exact = jnp.asarray(rng.normal(size=op.vshape))
+    b = op.apply(x_exact)
+    solver = BandCholeskySolver(op)
+    x = solver.apply(b)
+    err = np.linalg.norm(np.asarray(x - x_exact)) / np.linalg.norm(np.asarray(x_exact))
+    assert err < 1e-11

@@ -70,3 +70,32 @@ def test_vtk_circle(tmp_path):
     write_vtk_circle([0.5, 0.5], 0.1, str(path))
     text = path.read_text()
     assert "POLYDATA" in text and "POINTS 100 double" in text
+
+
+def test_vtk_writer_3d(tmp_path):
+    lat = Lattice((4, 4, 4))
+    rng = np.random.default_rng(5)
+    field = rng.normal(size=lat.vshape)
+    path = tmp_path / "out3d.vtk"
+    w = VTKWriter(str(path), lat)
+    w.add_state(field, "solution")
+    w.write()
+    text = path.read_text()
+    assert "DIMENSIONS 5 5 5" in text
+    values = [float(v) for v in text.split("LOOKUP_TABLE default\n")[1].split()]
+    assert len(values) == 125
+    grid = np.asarray(values).reshape(5, 5, 5)
+    assert np.all(grid[0] == 0) and np.all(grid[-1] == 0)
+    np.testing.assert_allclose(grid[1:-1, 1:-1, 1:-1], field, rtol=1e-6)
+
+
+def test_timer():
+    from multigridmc_tpu.utils.profiling import Timer
+
+    t = Timer()
+    with t.phase("a"):
+        sum(range(1000))
+    with t.phase("b"):
+        sum(range(1000))
+    assert set(t.phases) == {"a", "b"}
+    assert "total" in t.report()
