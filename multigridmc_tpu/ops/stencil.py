@@ -225,6 +225,16 @@ class StencilOperator:
             A = A + B @ np.diag(1.0 / S) @ B.T
         return A
 
+    def precision(self) -> np.ndarray:
+        """Dense precision matrix, cf. ``LinearOperator::precision``
+        (``linear_operator.cc:26-34``)."""
+        return self.to_dense()
+
+    def covariance(self) -> np.ndarray:
+        """Dense covariance = precision^{-1}, cf. ``linear_operator.hh:180-183``.
+        Small problems only (used by driver_spectrum and validation)."""
+        return np.linalg.inv(self.to_dense())
+
 
 def field_from_flat(v, lattice: Lattice) -> jax.Array:
     """Reshape a reference-ordered flat vector onto the grid layout."""

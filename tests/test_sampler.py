@@ -183,3 +183,78 @@ def test_multigridmc_sampler_2d():
     )
     em, ec = mean_covariance_error(op, sampler, nchains=1024, nwarmup=20, nsteps=400)
     assert em < 4e-3 and ec < 4e-3, (em, ec)
+
+
+def test_ssor_sampler_float32():
+    """The float32 sampling path (the TPU production dtype) still meets the
+    statistical tolerance - accumulation in float64, samples in float32."""
+    op32 = make_operator_1d(False)
+    import jax
+
+    op32 = jax.tree.map(
+        lambda v: v.astype(jnp.float32) if hasattr(v, "astype") else v, op32
+    )
+    sampler = SSORSampler(op32, omega=0.8)
+    n = op32.lattice.nvertex
+    rng = np.random.default_rng(77)
+    mean_exact = rng.uniform(size=n)
+    Q = op32.to_dense()
+    f = jnp.asarray((Q @ mean_exact).reshape(op32.lattice.vshape), dtype=jnp.float32)
+    cov_exact = np.linalg.inv(Q)
+    key = jax.random.PRNGKey(7)
+    nchains, nwarmup, nsteps = 2048, 50, 200
+
+    x = jnp.zeros((nchains,) + op32.lattice.vshape, dtype=jnp.float32)
+
+    @jax.jit
+    def warmup(x, key):
+        def body(i, x):
+            return sampler.apply(jax.random.fold_in(key, i), f, x)
+
+        return jax.lax.fori_loop(0, nwarmup, body, x)
+
+    @jax.jit
+    def collect(x, key):
+        def step(carry, i):
+            x, sx, sxx = carry
+            x = sampler.apply(jax.random.fold_in(key, i), f, x)
+            xf = x.reshape(nchains, n).astype(jnp.float64)
+            return (x, sx + xf.sum(axis=0), sxx + xf.T @ xf), 0.0
+
+        (x, sx, sxx), _ = jax.lax.scan(
+            step,
+            (x, jnp.zeros((n,), jnp.float64), jnp.zeros((n, n), jnp.float64)),
+            jnp.arange(nsteps),
+        )
+        return sx, sxx
+
+    x = warmup(x, jax.random.fold_in(key, 0))
+    sx, sxx = collect(x, jax.random.fold_in(key, 1))
+    total = nchains * nsteps
+    Ex = np.asarray(sx) / total
+    cov = np.asarray(sxx) / total - np.outer(Ex, Ex)
+    assert np.max(np.abs(Ex - mean_exact)) < 4e-3
+    assert np.max(np.abs(cov - cov_exact)) < 4e-3
+
+
+def test_multigridmc_sampler_3d():
+    """3d MGMC statistical smoke test (the reference only tests 1d/2d samplers;
+    3d is exercised through driver configs): 4x4x6 FD posterior, mean/cov vs
+    dense inverse."""
+    from multigridmc_tpu.models.prior import shiftedlaplace_fd
+
+    lattice = Lattice((4, 4, 6))
+    model = PeriodicCorrelationLengthModel(Lambda_min=1.2, Lambda_max=2.3)
+    prior = shiftedlaplace_fd(lattice, model)
+    rng = np.random.default_rng(5)
+    params = MeasurementParameters(
+        measurement_locations=rng.uniform(0.2, 0.8, size=(3, 3)),
+        mean=np.zeros(3),
+        variance=0.05 * (1 + rng.uniform(size=3)),
+    )
+    op = measured_operator(prior, params)
+    sampler = MultigridMCSampler(
+        op, nlevel=2, smoother="SSOR", coarse_solver="Cholesky", omega=1.0, cycle=1
+    )
+    em, ec = mean_covariance_error(op, sampler, nchains=2048, nwarmup=40, nsteps=500)
+    assert em < 5e-3 and ec < 5e-3, (em, ec)

@@ -99,3 +99,27 @@ def test_timer():
         sum(range(1000))
     assert set(t.phases) == {"a", "b"}
     assert "total" in t.report()
+
+
+def test_chain_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from multigridmc_tpu.utils.checkpoint import ChainState
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(4, 7, 7))
+    key = jax.random.PRNGKey(1234)
+    state = ChainState(
+        x=x, key=key, step=42, stats={"sum_x": rng.normal(size=49)}
+    )
+    p = tmp_path / "chain.npz"
+    state.save(p)
+    restored = ChainState.load(p)
+    np.testing.assert_array_equal(restored.x, x)
+    assert restored.step == 42
+    np.testing.assert_array_equal(restored.stats["sum_x"], state.stats["sum_x"])
+    # restored key continues the identical chain
+    a = jax.random.normal(key, (3,))
+    b = jax.random.normal(restored.key, (3,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
