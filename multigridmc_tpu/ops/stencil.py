@@ -87,18 +87,27 @@ class LowRank:
     def m(self) -> int:
         return self.B.shape[0]
 
+    # The low-rank (Woodbury) algebra is precision-critical: with near-exact
+    # measurements (Sigma ~ 1e-6) the correction nearly projects out the
+    # measured directions, and TPU default-precision (bf16 MXU) contractions
+    # perturb the splitting enough to destabilise the Gibbs iteration.
+    # All B contractions therefore force full float32 precision.
     def matvec(self, x: jax.Array) -> jax.Array:
         """Compute ``B Sigma^{-1} B^T x`` for a grid field x (extra leading batch dims ok)."""
-        d = self.B.ndim - 1
-        bt_x = jnp.tensordot(x, self.B, axes=(tuple(range(x.ndim - d, x.ndim)), tuple(range(1, d + 1))))
-        # bt_x shape (*batch, m)
-        w = bt_x / self.Sigma_diag
-        return jnp.tensordot(w, self.B, axes=([w.ndim - 1], [0]))
+        w = self.bt(x) / self.Sigma_diag
+        return jnp.tensordot(
+            w, self.B, axes=([w.ndim - 1], [0]), precision=jax.lax.Precision.HIGHEST
+        )
 
     def bt(self, x: jax.Array) -> jax.Array:
         """``B^T x`` -> shape (*batch, m)."""
         d = self.B.ndim - 1
-        return jnp.tensordot(x, self.B, axes=(tuple(range(x.ndim - d, x.ndim)), tuple(range(1, d + 1))))
+        return jnp.tensordot(
+            x,
+            self.B,
+            axes=(tuple(range(x.ndim - d, x.ndim)), tuple(range(1, d + 1))),
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def diag(self) -> jax.Array:
         """Diagonal of ``B Sigma^{-1} B^T`` as a grid field."""

@@ -68,7 +68,8 @@ class SORSampler(Sampler):
             batch = x.shape[: x.ndim - len(op.vshape)]
             xi_lr = jax.random.normal(kb, batch + (m,), dtype=x.dtype)
             c = c + jnp.tensordot(
-                xi_lr * self.Sigma_inv_sqrt, op.lowrank.B, axes=([xi_lr.ndim - 1], [0])
+                xi_lr * self.Sigma_inv_sqrt, op.lowrank.B, axes=([xi_lr.ndim - 1], [0]),
+                precision=jax.lax.Precision.HIGHEST,
             )
         return c
 
@@ -84,7 +85,10 @@ class SORSampler(Sampler):
         c = f
         if op.lowrank is not None:
             xi_lr = jax.random.normal(kb, (op.m_lowrank,), dtype=x.dtype)
-            c = c + jnp.tensordot(xi_lr * self.Sigma_inv_sqrt, op.lowrank.B, axes=([0], [0]))
+            c = c + jnp.tensordot(
+                xi_lr * self.Sigma_inv_sqrt, op.lowrank.B, axes=([0], [0]),
+                precision=jax.lax.Precision.HIGHEST,
+            )
         x = fused_gibbs_sweep(
             seed, op.coeffs, jnp.broadcast_to(c, x.shape), x,
             offsets=op.offsets, diag_index=op.diag_index,

@@ -90,10 +90,11 @@ def compute_B_bar(
     (cf. ``sor_smoother.cc:17-37``).  Returns shape ``(m, *vshape)``."""
     lr = op.lowrank
     Y = jax.jit(jax.vmap(lambda col: splitting_solve(op, masks, omega, order, col)))(lr.B)
-    # S = Sigma + B^T M^{-1} B   (m x m)
-    S = jnp.diag(lr.Sigma_diag) + jnp.einsum("m...,k...->mk", lr.B, Y)
+    # S = Sigma + B^T M^{-1} B   (m x m); full precision - see LowRank notes
+    hi = jax.lax.Precision.HIGHEST
+    S = jnp.diag(lr.Sigma_diag) + jnp.einsum("m...,k...->mk", lr.B, Y, precision=hi)
     W = jnp.linalg.inv(S)
-    return jnp.einsum("l...,lk->k...", Y, W)
+    return jnp.einsum("l...,lk->k...", Y, W, precision=hi)
 
 
 class SORSmoother:
@@ -161,7 +162,10 @@ class SORSmoother:
 
     def _lowrank_correct(self, x: jax.Array) -> jax.Array:
         bt_x = self.op.lowrank.bt(x)  # (*batch, m)
-        return x - jnp.tensordot(bt_x, self.B_bar, axes=([bt_x.ndim - 1], [0]))
+        return x - jnp.tensordot(
+            bt_x, self.B_bar, axes=([bt_x.ndim - 1], [0]),
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def apply(self, b: jax.Array, x: jax.Array) -> jax.Array:
         """``nsmooth`` SOR sweeps, each followed by the low-rank correction
