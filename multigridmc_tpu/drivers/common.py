@@ -5,9 +5,6 @@ from __future__ import annotations
 
 import sys
 
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 from ..lattice import Lattice
 from ..models.correlation import (
@@ -16,7 +13,7 @@ from ..models.correlation import (
 )
 from ..models.posterior import MeasurementParameters, measured_operator
 from ..models.prior import prior_operator
-from ..utils.config import Config, load_config
+from ..utils.config import Config
 
 
 def build_lattice(config: Config) -> Lattice:

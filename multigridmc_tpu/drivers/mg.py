@@ -13,7 +13,6 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..solvers.loop import IterativeSolverParameters, LoopSolver

@@ -23,7 +23,6 @@ index ``(i_{d-1}, ..., i_0)`` sits at coordinates ``x_k = (i_k + 1) * h_k`` with
 from __future__ import annotations
 
 import dataclasses
-from functools import cached_property
 from typing import Tuple
 
 import numpy as np

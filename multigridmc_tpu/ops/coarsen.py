@@ -26,7 +26,6 @@ The low-rank factor coarsens column-wise: ``B_c = R B``, ``Sigma_c = Sigma``
 
 from __future__ import annotations
 
-import dataclasses
 import itertools
 from typing import Tuple
 
@@ -34,7 +33,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..lattice import Lattice
 from .intergrid import prolongate, restrict
 from .stencil import LowRank, StencilOperator
 

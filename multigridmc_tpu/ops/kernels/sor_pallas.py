@@ -23,11 +23,9 @@ colouring, cf. :mod:`multigridmc_tpu.ops.coloring`) - no mask traffic from HBM.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -12,7 +12,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .lattice import Lattice
-from .ops.stencil import StencilOperator
 
 
 class QoI:

@@ -16,8 +16,6 @@ samplers cache the f-dependent part of their update.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 
 from ..ops.stencil import StencilOperator

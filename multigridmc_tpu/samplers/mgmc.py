@@ -35,13 +35,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.coarsen import galerkin_coarsen
 from ..ops.intergrid import prolongate_add, restrict
 from ..ops.stencil import StencilOperator
 from ..smoothers import BACKWARD, FORWARD
 from ..solvers.multigrid import MultigridHierarchy
 from .base import Sampler
-from .cholesky import BandCholeskySampler, DenseCholeskySampler
+from .cholesky import DenseCholeskySampler
 from .sor import SORSampler, SSORSampler
 
 

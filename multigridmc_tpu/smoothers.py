@@ -26,13 +26,11 @@ block-triangular in the colour order.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .ops.coloring import Coloring, coloring_for
 from .ops.stencil import StencilOperator

@@ -21,7 +21,7 @@ ships Richardson; CG typically converges in fewer V-cycles).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
