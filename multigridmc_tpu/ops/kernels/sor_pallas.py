@@ -87,30 +87,41 @@ def _sweep_on_scratch(
     return x
 
 
+def _squeeze_block(v):
+    """Blocks arrive as (H, W) in single-tile mode or (1, H, W) in batched mode."""
+    return v[0] if v.ndim == 3 else v
+
+
 def _deterministic_kernel(
     coeffs_ref, b_ref, x_ref, out_ref, xp_ref,
     *, offsets, diag_index, omega, order, color_weights, n_colors, pad,
 ):
-    out_ref[:] = _sweep_on_scratch(
-        coeffs_ref[:], b_ref[:], x_ref[:], xp_ref,
+    out = _sweep_on_scratch(
+        coeffs_ref[:], _squeeze_block(b_ref[:]), _squeeze_block(x_ref[:]), xp_ref,
         offsets, diag_index, omega, order, color_weights, n_colors, pad,
     )
+    out_ref[:] = out.reshape(out_ref.shape)
 
 
 def _stochastic_kernel(
     seed_ref, coeffs_ref, f_ref, x_ref, out_ref, xp_ref,
     *, offsets, diag_index, omega, order, color_weights, n_colors, pad,
+    batched=False,
 ):
-    pltpu.prng_seed(seed_ref[0])
+    # batched mode passes the full per-chain seed vector in SMEM (Mosaic cannot
+    # block rank-1 SMEM arrays); each grid step picks its chain's seed
+    pltpu.prng_seed(seed_ref[pl.program_id(0)] if batched else seed_ref[0])
     coeffs = coeffs_ref[:]
     diag = coeffs[diag_index]
-    xi = _normal_from_bits(f_ref.shape)
+    f = _squeeze_block(f_ref[:])
+    xi = _normal_from_bits(f.shape)
     # c = f + sqrt(D (2-omega)/omega) xi   (sor_sampler.cc:39-46)
-    c = f_ref[:] + jnp.sqrt(diag * ((2.0 - omega) / omega)) * xi.astype(f_ref.dtype)
-    out_ref[:] = _sweep_on_scratch(
-        coeffs, c, x_ref[:], xp_ref, offsets, diag_index, omega, order,
+    c = f + jnp.sqrt(diag * ((2.0 - omega) / omega)) * xi.astype(f.dtype)
+    out = _sweep_on_scratch(
+        coeffs, c, _squeeze_block(x_ref[:]), xp_ref, offsets, diag_index, omega, order,
         color_weights, n_colors, pad,
     )
+    out_ref[:] = out.reshape(out_ref.shape)
 
 
 def _vmem_bytes(n_offsets, H, W, pad, itemsize=4):
@@ -160,6 +171,78 @@ def fused_sor_sweep(
         scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), x.dtype)],
         interpret=interpret,
     )(coeffs, b, x)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "diag_index", "omega", "order", "color_weights", "n_colors", "interpret",
+    ),
+)
+def fused_sor_sweep_batched(
+    coeffs, b, x,
+    *, offsets, diag_index, omega, order, color_weights, n_colors, interpret=False,
+):
+    """Batched deterministic sweep: grid over the chain axis, one chain's grid
+    per grid step.  The coefficient block has a constant index map, so Mosaic
+    keeps it resident in VMEM across grid steps - the sweep becomes a single
+    streaming pass over the chain states instead of ~3 passes per colour."""
+    pad = max(max(abs(o) for o in off) for off in offsets)
+    kern = functools.partial(
+        _deterministic_kernel,
+        offsets=offsets, diag_index=diag_index, omega=omega, order=order,
+        color_weights=color_weights, n_colors=n_colors, pad=pad,
+    )
+    C, H, W = x.shape
+    nk = coeffs.shape[0]
+    return pl.pallas_call(
+        kern,
+        grid=(C,),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[
+            pl.BlockSpec((nk, H, W), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), x.dtype)],
+        interpret=interpret,
+    )(coeffs, b, x)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "diag_index", "omega", "order", "color_weights", "n_colors", "interpret",
+    ),
+)
+def fused_gibbs_sweep_batched(
+    seeds, coeffs, f, x,
+    *, offsets, diag_index, omega, order, color_weights, n_colors, interpret=False,
+):
+    """Batched stochastic sweep with per-chain seeds (shape (nchains,))."""
+    pad = max(max(abs(o) for o in off) for off in offsets)
+    kern = functools.partial(
+        _stochastic_kernel,
+        offsets=offsets, diag_index=diag_index, omega=omega, order=order,
+        color_weights=color_weights, n_colors=n_colors, pad=pad, batched=True,
+    )
+    C, H, W = x.shape
+    nk = coeffs.shape[0]
+    return pl.pallas_call(
+        kern,
+        grid=(C,),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[
+            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nk, H, W), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), x.dtype)],
+        interpret=interpret,
+    )(jnp.asarray(seeds, jnp.int32), coeffs, f, x)
 
 
 @functools.partial(

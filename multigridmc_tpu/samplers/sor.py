@@ -74,28 +74,32 @@ class SORSampler(Sampler):
         return c
 
     def _apply_pallas(self, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
-        """Fused path: diagonal noise + sweep in one Pallas kernel; the (small)
-        low-rank noise term and Woodbury correction stay outside."""
+        """Fused path: diagonal noise + sweep in one Pallas kernel (single-tile
+        for one chain, chain-gridded for a batch); the (small) low-rank noise
+        term and Woodbury correction stay outside."""
         from ..ops.kernels.sor_pallas import fused_gibbs_sweep
 
         op = self.op
         sm = self.smoother
         kx, kb = jax.random.split(key)
-        seed = jax.random.randint(kx, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         c = f
         if op.lowrank is not None:
-            xi_lr = jax.random.normal(kb, (op.m_lowrank,), dtype=x.dtype)
+            vdim = len(op.vshape)
+            batch = x.shape[: x.ndim - vdim]
+            xi_lr = jax.random.normal(kb, batch + (op.m_lowrank,), dtype=x.dtype)
             c = c + jnp.tensordot(
-                xi_lr * self.Sigma_inv_sqrt, op.lowrank.B, axes=([0], [0]),
+                xi_lr * self.Sigma_inv_sqrt, op.lowrank.B,
+                axes=([xi_lr.ndim - 1], [0]),
                 precision=jax.lax.Precision.HIGHEST,
             )
-        x = fused_gibbs_sweep(
-            seed, op.coeffs, jnp.broadcast_to(c, x.shape), x,
+        kwargs = dict(
             offsets=op.offsets, diag_index=op.diag_index,
             omega=self.omega, order=sm.order,
             color_weights=sm.coloring.weights, n_colors=sm.coloring.n_colors,
             interpret=sm._pallas_interpret,
         )
+        seed = jax.random.randint(kx, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        x = fused_gibbs_sweep(seed, op.coeffs, jnp.broadcast_to(c, x.shape), x, **kwargs)
         if sm.B_bar is not None:
             x = sm._lowrank_correct(x)
         return x

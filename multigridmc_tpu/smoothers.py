@@ -156,6 +156,9 @@ class SORSmoother:
                 n_colors=self.coloring.n_colors,
                 interpret=self._pallas_interpret,
             )
+        # NOTE: a chain-gridded batched kernel exists (fused_sor_sweep_batched)
+        # but measured ~25% slower than XLA's fully-vectorised batched sweeps on
+        # v5e (chains serialise through the grid); batched sweeps stay on XLA.
         return sor_sweep(self.op, self.masks, self.omega, self.order, b, x)
 
     def _lowrank_correct(self, x: jax.Array) -> jax.Array:

@@ -112,3 +112,28 @@ def test_smoother_pallas_integration_interpret(monkeypatch):
         np.asarray(sm_pallas.apply(b, x)), np.asarray(sm_ref.apply(b, x)),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_fused_batched_sweep_matches_single(monkeypatch):
+    """Batched fused sweep (grid over chains) equals per-chain single-tile sweeps."""
+    from multigridmc_tpu.ops.kernels.sor_pallas import fused_sor_sweep_batched
+
+    op = make_op(shiftedlaplace_fd, nx=16)
+    coloring = coloring_for(op.offsets, op.vshape)
+    order = tuple(range(coloring.n_colors))
+    rng = np.random.default_rng(3)
+    C = 3
+    b = jnp.asarray(rng.normal(size=(C,) + op.vshape), dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + op.vshape), dtype=jnp.float32)
+    out = fused_sor_sweep_batched(
+        op.coeffs, b, x,
+        offsets=op.offsets, diag_index=op.diag_index, omega=1.0, order=order,
+        color_weights=coloring.weights, n_colors=coloring.n_colors, interpret=True,
+    )
+    for c in range(C):
+        single = fused_sor_sweep(
+            op.coeffs, b[c], x[c],
+            offsets=op.offsets, diag_index=op.diag_index, omega=1.0, order=order,
+            color_weights=coloring.weights, n_colors=coloring.n_colors, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out[c]), np.asarray(single), rtol=1e-6, atol=1e-6)
