@@ -33,7 +33,7 @@ REPO = Path(__file__).resolve().parent
 BASELINE_CACHE = REPO / "BASELINE_MEASURED.json"
 
 NX = 256
-NLEVEL = 6
+NLEVEL = 5
 CYCLE = 2
 NCHAINS = 128
 NSTEPS_BATCHED = 25

@@ -258,3 +258,22 @@ def test_multigridmc_sampler_3d():
     )
     em, ec = mean_covariance_error(op, sampler, nchains=2048, nwarmup=40, nsteps=500)
     assert em < 5e-3 and ec < 5e-3, (em, ec)
+
+
+def test_multigridmc_sampler_biharmonic_2d():
+    """MGMC on the squared shifted-Laplace (biharmonic) prior: exercises the
+    5-colour sweep ordering and the 5x5-box Galerkin coarsening end-to-end."""
+    from multigridmc_tpu.models.correlation import ConstantCorrelationLengthModel
+    from multigridmc_tpu.models.prior import squared_shiftedlaplace_fd
+
+    lattice = Lattice((8, 8))
+    op = squared_shiftedlaplace_fd(lattice, ConstantCorrelationLengthModel(1.0))
+    sampler = MultigridMCSampler(
+        op, nlevel=2, smoother="SSOR", coarse_solver="Cholesky", omega=1.0, cycle=1
+    )
+    # the 13-point stencil needs >= 5 colours
+    assert sampler.presamplers[0].forward.smoother.coloring.n_colors >= 5
+    # light tier (runtime): 1024 x 100 samples, tol 1e-2 - the reference's
+    # fast/thorough two-tier idiom (test_sampler.hh:318-320)
+    em, ec = mean_covariance_error(op, sampler, nchains=1024, nwarmup=30, nsteps=100)
+    assert em < 1e-2 and ec < 1e-2, (em, ec)

@@ -123,3 +123,30 @@ def test_chain_checkpoint_roundtrip(tmp_path):
     a = jax.random.normal(key, (3,))
     b = jax.random.normal(restored.key, (3,))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_measurement_vector_radius_partition_of_unity():
+    """A radius-R measurement vector integrates the indicator of the R-ball
+    against the FEM basis: for a ball fully interior to the domain the entries
+    sum to ~1 (f_meas = 1, normalisation 1/V_sphere), cf.
+    measured_operator.cc:93-168."""
+    from multigridmc_tpu.models.posterior import measurement_vector
+
+    lat = Lattice((64, 64))
+    w = measurement_vector(lat, [0.5, 0.5], radius=0.1)
+    assert abs(w.sum() - 1.0) < 2e-2
+    # support is local to the ball
+    coords = lat.vertex_coordinates()
+    dist = np.linalg.norm(coords - np.array([0.5, 0.5]), axis=-1)
+    assert np.abs(w[dist > 0.1 + 2.0 / 64]).max() == 0.0
+
+
+def test_measurement_vector_radius0_nearest_vertex():
+    from multigridmc_tpu.models.posterior import measurement_vector
+
+    lat = Lattice((8, 8))
+    w = measurement_vector(lat, [0.49, 0.26], radius=0.0)
+    assert w.sum() == 1.0
+    idx = np.unravel_index(np.argmax(w), lat.vshape)
+    # nearest interior vertex to (0.49, 0.26) on h=1/8 grid: x=0.5 (col 3), y=0.25 (row 1)
+    assert idx == (1, 3)
