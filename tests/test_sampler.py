@@ -256,8 +256,8 @@ def test_multigridmc_sampler_3d():
     sampler = MultigridMCSampler(
         op, nlevel=2, smoother="SSOR", coarse_solver="Cholesky", omega=1.0, cycle=1
     )
-    em, ec = mean_covariance_error(op, sampler, nchains=2048, nwarmup=40, nsteps=500)
-    assert em < 5e-3 and ec < 5e-3, (em, ec)
+    em, ec = mean_covariance_error(op, sampler, nchains=1024, nwarmup=40, nsteps=300)
+    assert em < 8e-3 and ec < 8e-3, (em, ec)
 
 
 def test_multigridmc_sampler_biharmonic_2d():
@@ -275,5 +275,5 @@ def test_multigridmc_sampler_biharmonic_2d():
     assert sampler.presamplers[0].forward.smoother.coloring.n_colors >= 5
     # light tier (runtime): 1024 x 100 samples, tol 1e-2 - the reference's
     # fast/thorough two-tier idiom (test_sampler.hh:318-320)
-    em, ec = mean_covariance_error(op, sampler, nchains=1024, nwarmup=30, nsteps=100)
-    assert em < 1e-2 and ec < 1e-2, (em, ec)
+    em, ec = mean_covariance_error(op, sampler, nchains=512, nwarmup=30, nsteps=80)
+    assert em < 1.5e-2 and ec < 1.5e-2, (em, ec)
