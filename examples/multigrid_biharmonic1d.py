@@ -10,8 +10,9 @@ Run: ``python examples/multigrid_biharmonic1d.py [n]``
 """
 
 import sys
+from pathlib import Path
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
