@@ -124,6 +124,73 @@ def _stochastic_kernel(
     out_ref[:] = out.reshape(out_ref.shape)
 
 
+def _sweep_on_scratch_block(
+    coeffs, b, x, xp_ref, offsets, diag_index, omega, order, color_weights, n_colors, pad
+):
+    """Rank-3 variant of the sweep: a block of chains (B, H, W) per grid step."""
+    B, H, W = x.shape
+    diag = coeffs[diag_index]  # (H, W), broadcasts over chains
+    color = _color_field((H, W), color_weights, n_colors)
+
+    xp_ref[:] = jnp.zeros((B, H + 2 * pad, W + 2 * pad), x.dtype)
+    xp_ref[:, pad:pad + H, pad:pad + W] = x
+
+    def apply_stencil():
+        acc = None
+        for k, (oy, ox) in enumerate(offsets):
+            t = coeffs[k] * xp_ref[:, pad + oy:pad + oy + H, pad + ox:pad + ox + W]
+            acc = t if acc is None else acc + t
+        return acc
+
+    for c in order:
+        ax = apply_stencil()
+        upd = omega * (b - ax) / diag
+        x = x + jnp.where(color == c, upd, jnp.zeros_like(upd))
+        xp_ref[:, pad:pad + H, pad:pad + W] = x
+    return x
+
+
+def _deterministic_kernel_block(
+    coeffs_ref, b_ref, x_ref, out_ref, xp_ref,
+    *, offsets, diag_index, omega, order, color_weights, n_colors, pad,
+):
+    out_ref[:] = _sweep_on_scratch_block(
+        coeffs_ref[:], b_ref[:], x_ref[:], xp_ref,
+        offsets, diag_index, omega, order, color_weights, n_colors, pad,
+    )
+
+
+def _stochastic_kernel_block(
+    seed_ref, coeffs_ref, f_ref, x_ref, out_ref, xp_ref,
+    *, offsets, diag_index, omega, order, color_weights, n_colors, pad,
+):
+    # one PRNG seed per chain block: blocks are independent via distinct seeds,
+    # chains within a block draw from one on-chip stream (still iid normals)
+    pltpu.prng_seed(seed_ref[pl.program_id(0)])
+    coeffs = coeffs_ref[:]
+    diag = coeffs[diag_index]
+    f = f_ref[:]
+    xi = _normal_from_bits(f.shape)
+    c = f + jnp.sqrt(diag * ((2.0 - omega) / omega)) * xi.astype(f.dtype)
+    out_ref[:] = _sweep_on_scratch_block(
+        coeffs, c, x_ref[:], xp_ref, offsets, diag_index, omega, order,
+        color_weights, n_colors, pad,
+    )
+
+
+def pick_block_chains(C, H, W, n_offsets, pad, vmem_budget=12 * 1024 * 1024):
+    """Largest chain-block size that divides C and fits VMEM (with the
+    pipeline's double buffering of the three chain-mapped blocks)."""
+    for bc in (16, 8, 4, 2, 1):
+        if C % bc:
+            continue
+        plane = (H + 2 * pad) * (W + 2 * pad) * 4
+        need = 2 * 3 * bc * plane + n_offsets * plane + bc * plane
+        if need <= vmem_budget:
+            return bc
+    return 1
+
+
 def _vmem_bytes(n_offsets, H, W, pad, itemsize=4):
     return (n_offsets + 4) * (H + 2 * pad) * (W + 2 * pad) * itemsize
 
@@ -183,29 +250,31 @@ def fused_sor_sweep_batched(
     coeffs, b, x,
     *, offsets, diag_index, omega, order, color_weights, n_colors, interpret=False,
 ):
-    """Batched deterministic sweep: grid over the chain axis, one chain's grid
-    per grid step.  The coefficient block has a constant index map, so Mosaic
-    keeps it resident in VMEM across grid steps - the sweep becomes a single
-    streaming pass over the chain states instead of ~3 passes per colour."""
+    """Batched deterministic sweep: the chain axis is processed in VMEM-sized
+    blocks (``pick_block_chains`` chains per grid step), amortising per-step
+    overhead; the coefficient block has a constant index map so Mosaic keeps it
+    resident across steps.  One streaming pass over the chain states instead of
+    ~3 passes per colour."""
     pad = max(max(abs(o) for o in off) for off in offsets)
+    C, H, W = x.shape
+    nk = coeffs.shape[0]
+    bc = pick_block_chains(C, H, W, nk, pad)
     kern = functools.partial(
-        _deterministic_kernel,
+        _deterministic_kernel_block,
         offsets=offsets, diag_index=diag_index, omega=omega, order=order,
         color_weights=color_weights, n_colors=n_colors, pad=pad,
     )
-    C, H, W = x.shape
-    nk = coeffs.shape[0]
     return pl.pallas_call(
         kern,
-        grid=(C,),
+        grid=(C // bc,),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         in_specs=[
             pl.BlockSpec((nk, H, W), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), x.dtype)],
+        out_specs=pl.BlockSpec((bc, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bc, H + 2 * pad, W + 2 * pad), x.dtype)],
         interpret=interpret,
     )(coeffs, b, x)
 
@@ -220,29 +289,33 @@ def fused_gibbs_sweep_batched(
     seeds, coeffs, f, x,
     *, offsets, diag_index, omega, order, color_weights, n_colors, interpret=False,
 ):
-    """Batched stochastic sweep with per-chain seeds (shape (nchains,))."""
+    """Batched stochastic sweep; ``seeds`` provides one PRNG seed per chain
+    block (pass nchains seeds - the first n_blocks are used)."""
     pad = max(max(abs(o) for o in off) for off in offsets)
-    kern = functools.partial(
-        _stochastic_kernel,
-        offsets=offsets, diag_index=diag_index, omega=omega, order=order,
-        color_weights=color_weights, n_colors=n_colors, pad=pad, batched=True,
-    )
     C, H, W = x.shape
     nk = coeffs.shape[0]
+    bc = pick_block_chains(C, H, W, nk, pad)
+    nblocks = C // bc
+    kern = functools.partial(
+        _stochastic_kernel_block,
+        offsets=offsets, diag_index=diag_index, omega=omega, order=order,
+        color_weights=color_weights, n_colors=n_colors, pad=pad,
+    )
+    seeds = jnp.asarray(seeds, jnp.int32)[:nblocks]
     return pl.pallas_call(
         kern,
-        grid=(C,),
+        grid=(nblocks,),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         in_specs=[
-            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblocks,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((nk, H, W), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), x.dtype)],
+        out_specs=pl.BlockSpec((bc, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bc, H + 2 * pad, W + 2 * pad), x.dtype)],
         interpret=interpret,
-    )(jnp.asarray(seeds, jnp.int32), coeffs, f, x)
+    )(seeds, coeffs, f, x)
 
 
 @functools.partial(

@@ -36,7 +36,7 @@ def main():
 
     with jax.default_device(jax.devices("cpu")[0]):
         op = bench.build_problem()
-        sampler = MultigridMCSampler(op, nlevel=6, smoother="SOR", cycle=2)
+        sampler = MultigridMCSampler(op, nlevel=5, smoother="SOR", cycle=2)
     log(f"setup done (backend={jax.default_backend()})")
 
     # exact posterior mean / observed stats in float64 on host

@@ -122,7 +122,7 @@ def test_fused_batched_sweep_matches_single(monkeypatch):
     coloring = coloring_for(op.offsets, op.vshape)
     order = tuple(range(coloring.n_colors))
     rng = np.random.default_rng(3)
-    C = 3
+    C = 8  # exercises multi-chain blocks (pick_block_chains -> 8 or 4)
     b = jnp.asarray(rng.normal(size=(C,) + op.vshape), dtype=jnp.float32)
     x = jnp.asarray(rng.normal(size=(C,) + op.vshape), dtype=jnp.float32)
     out = fused_sor_sweep_batched(
