@@ -12,10 +12,24 @@ rank-2 update B[3,0]=B[4,1]=10, Sigma=diag(4.2, 9.3); and the 2d FEM posterior
 of ``TestMultigridMCSampler2d`` (``test_sampler.hh:266-320``).
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+#: two-tier test budget, cf. the reference's THOROUGH_TESTING flag
+#: (src/config.h.in:3-10): MGMC_THOROUGH=1 scales sample counts up ~4x and
+#: tightens tolerances toward the thorough-tier gates (test_sampler.hh:318-320)
+THOROUGH = os.environ.get("MGMC_THOROUGH", "0") == "1"
+
+
+def tier(nchains, nsteps, tol):
+    """Scale a (nchains, nsteps, tol) budget by the active tier."""
+    if THOROUGH:
+        return 2 * nchains, 2 * nsteps, tol / 2
+    return nchains, nsteps, tol
 
 from multigridmc_tpu.lattice import Lattice
 from multigridmc_tpu.models.correlation import PeriodicCorrelationLengthModel
@@ -101,8 +115,9 @@ def test_dense_cholesky_sampler_1d(lowrank):
     """cf. ``TestDenseCholeskySampler1d`` - tolerance 2e-3 at ~500k samples."""
     op = make_operator_1d(lowrank)
     sampler = DenseCholeskySampler(op)
-    em, ec = mean_covariance_error(op, sampler, nchains=2048, nwarmup=2, nsteps=250)
-    assert em < 2e-3 and ec < 2e-3, (em, ec)
+    nchains, nsteps, tol = tier(2048, 250, 2e-3)
+    em, ec = mean_covariance_error(op, sampler, nchains=nchains, nwarmup=2, nsteps=nsteps)
+    assert em < tol and ec < tol, (em, ec)
 
 
 @pytest.mark.parametrize("lowrank", [False, True], ids=["prior", "lowrank"])
@@ -141,8 +156,9 @@ def test_ssor_sampler_1d(lowrank):
     """cf. ``TestSSORSampler1d``: omega=0.8, tolerance 2e-3 at ~500k samples."""
     op = make_operator_1d(lowrank)
     sampler = SSORSampler(op, omega=0.8)
-    em, ec = mean_covariance_error(op, sampler, nchains=2048, nwarmup=50, nsteps=250)
-    assert em < 2e-3 and ec < 2e-3, (em, ec)
+    nchains, nsteps, tol = tier(2048, 250, 2e-3)
+    em, ec = mean_covariance_error(op, sampler, nchains=nchains, nwarmup=50, nsteps=nsteps)
+    assert em < tol and ec < tol, (em, ec)
 
 
 @pytest.mark.parametrize("lowrank", [False, True], ids=["prior", "lowrank"])
@@ -153,8 +169,9 @@ def test_multigridmc_sampler_1d(lowrank):
     sampler = MultigridMCSampler(
         op, nlevel=3, smoother="SSOR", coarse_solver="Cholesky", omega=1.0, cycle=1
     )
-    em, ec = mean_covariance_error(op, sampler, nchains=2048, nwarmup=20, nsteps=250)
-    assert em < 2e-3 and ec < 2e-3, (em, ec)
+    nchains, nsteps, tol = tier(2048, 250, 2e-3)
+    em, ec = mean_covariance_error(op, sampler, nchains=nchains, nwarmup=20, nsteps=nsteps)
+    assert em < tol and ec < tol, (em, ec)
 
 
 def make_posterior_2d(nx=8):
@@ -177,12 +194,13 @@ def make_posterior_2d(nx=8):
 
 def test_multigridmc_sampler_2d():
     """cf. ``TestMultigridMCSampler2d`` fast tier: 8x8 lattice, ~400k samples."""
-    op = make_posterior_2d(8)
+    op = make_posterior_2d(16 if THOROUGH else 8)
     sampler = MultigridMCSampler(
         op, nlevel=3, smoother="SSOR", coarse_solver="Cholesky", omega=1.0, cycle=1
     )
-    em, ec = mean_covariance_error(op, sampler, nchains=1024, nwarmup=20, nsteps=400)
-    assert em < 4e-3 and ec < 4e-3, (em, ec)
+    nchains, nsteps, tol = tier(1024, 400, 4e-3)
+    em, ec = mean_covariance_error(op, sampler, nchains=nchains, nwarmup=20, nsteps=nsteps)
+    assert em < tol and ec < tol, (em, ec)
 
 
 def test_ssor_sampler_float32():
