@@ -43,12 +43,16 @@ class DenseCholeskySolver:
             self.B_flat = B
 
     def apply(self, b: jax.Array) -> jax.Array:
-        """Solve ``A x = b`` for a grid field b (cf. ``cholesky_solver.cc:28-44``)."""
+        """Solve ``A x = b`` for a grid field b, supporting leading batch dims
+        (cf. ``cholesky_solver.cc:28-44``)."""
         shape = b.shape
-        y = jax.scipy.linalg.cho_solve((self.L, True), b.reshape(-1))
+        vdim = len(self.op.vshape)
+        n = self.L.shape[0]
+        bf = b.reshape((-1, n)).T  # (n, nbatch)
+        y = jax.scipy.linalg.cho_solve((self.L, True), bf)
         if self.B_bar is not None:
             y = y - self.B_bar @ (self.B_flat.T @ y)
-        return y.reshape(shape)
+        return y.T.reshape(shape)
 
 
 class BandCholeskySolver:

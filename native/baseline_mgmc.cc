@@ -275,15 +275,148 @@ struct Sampler {
 
 }  // namespace
 
+// Deterministic multigrid V/W-cycle (the driver_mg path): identical cycle
+// skeleton with noise-free SOR sweeps and a coarse Cholesky *solve*
+// (multigrid_preconditioner.cc:74-109).
+struct DeterministicCycle {
+    Problem& p;
+    explicit DeterministicCycle(Problem& p_) : p(p_) {}
+
+    void sor_sweep(const Level& lev, const std::vector<double>& b,
+                   std::vector<double>& x, int dir) {
+        const int64_t n = lev.A.rows;
+        for (int64_t i_ = 0; i_ < n; ++i_) {
+            int64_t i = (dir > 0) ? i_ : n - 1 - i_;
+            double acc = 0.0;
+            for (int64_t k = lev.A.indptr[i]; k < lev.A.indptr[i + 1]; ++k)
+                acc += lev.A.data[k] * x[lev.A.indices[k]];
+            x[i] += p.omega * (b[i] - acc) / lev.diag[i];
+        }
+        const LowRank& lr = lev.lowrank;
+        if (lr.m > 0) {
+            const auto& Bbar = (dir > 0) ? lr.Bbar_fw : lr.Bbar_bw;
+            std::vector<double> bt(lr.m, 0.0);
+            for (int64_t i = 0; i < n; ++i)
+                for (int64_t j = 0; j < lr.m; ++j)
+                    bt[j] += lr.B[i * lr.m + j] * x[i];
+            for (int64_t i = 0; i < n; ++i)
+                for (int64_t j = 0; j < lr.m; ++j)
+                    x[i] -= Bbar[i * lr.m + j] * bt[j];
+        }
+    }
+
+    void coarse_solve(const std::vector<double>& b, std::vector<double>& x) {
+        const int64_t n = p.nc;
+        const double* L = p.Lchol.data();
+        for (int64_t i = 0; i < n; ++i) {
+            double acc = b[i];
+            for (int64_t j = 0; j < i; ++j) acc -= L[i * n + j] * p.coarse_g[j];
+            p.coarse_g[i] = acc / L[i * n + i];
+        }
+        for (int64_t i = n - 1; i >= 0; --i) {
+            double acc = p.coarse_g[i];
+            for (int64_t j = i + 1; j < n; ++j) acc -= L[j * n + i] * x[j];
+            x[i] = acc / L[i * n + i];
+        }
+    }
+
+    void solve(int64_t level) {
+        Level& lev = p.levels[level];
+        std::fill(lev.x.begin(), lev.x.end(), 0.0);
+        if (level == p.nlevel - 1) {
+            coarse_solve(lev.f, lev.x);
+            return;
+        }
+        Level& coarse = p.levels[level + 1];
+        int64_t ncycle = (level > 0) ? p.cycle : 1;
+        for (int64_t j = 0; j < ncycle; ++j) {
+            sor_sweep(lev, lev.f, lev.x, +1);
+            lev.A.apply(lev.x.data(), lev.r.data());
+            const LowRank& lr = lev.lowrank;
+            if (lr.m > 0) {
+                std::vector<double> bt(lr.m, 0.0);
+                for (int64_t i = 0; i < lev.A.rows; ++i)
+                    for (int64_t k = 0; k < lr.m; ++k)
+                        bt[k] += lr.B[i * lr.m + k] * lev.x[i];
+                for (int64_t k = 0; k < lr.m; ++k)
+                    bt[k] *= lr.sqrt_sigma_inv[k] * lr.sqrt_sigma_inv[k];
+                for (int64_t i = 0; i < lev.A.rows; ++i)
+                    for (int64_t k = 0; k < lr.m; ++k)
+                        lev.r[i] += lr.B[i * lr.m + k] * bt[k];
+            }
+            for (int64_t i = 0; i < lev.A.rows; ++i)
+                lev.r[i] = lev.f[i] - lev.r[i];
+            lev.R.apply(lev.r.data(), coarse.f.data());
+            solve(level + 1);
+            lev.P.apply(coarse.x.data(), lev.r.data());
+            for (int64_t i = 0; i < lev.A.rows; ++i) lev.x[i] += lev.r[i];
+            sor_sweep(lev, lev.f, lev.x, -1);
+        }
+    }
+
+    void apply(const std::vector<double>& b, std::vector<double>& x) {
+        p.levels[0].f = b;
+        solve(0);
+        x = p.levels[0].x;
+    }
+};
+
 int main(int argc, char** argv) {
-    if (argc != 4 && argc != 5) {
-        fprintf(stderr, "usage: %s problem.bin nwarmup nsamples [dump_prefix]\n", argv[0]);
+    if (argc < 4) {
+        fprintf(stderr,
+                "usage: %s problem.bin nwarmup nsamples [dump_prefix|--deterministic]\n",
+                argv[0]);
         return 1;
     }
     Problem p = load(argv[1]);
     int64_t nwarmup = atoll(argv[2]);
     int64_t nsamples = atoll(argv[3]);
-    const char* dump_prefix = (argc == 5) ? argv[4] : nullptr;
+    bool deterministic = (argc == 5) && std::string(argv[4]) == "--deterministic";
+    const char* dump_prefix = (argc == 5 && !deterministic) ? argv[4] : nullptr;
+
+    if (deterministic) {
+        // preconditioned Richardson: x <- x - P(Ax - b), cf. loop_solver.cc:26-41
+        DeterministicCycle cyc(p);
+        int64_t n = p.levels[0].A.rows;
+        std::vector<double> b(n), x(n, 0.0), r(n), Pr(n);
+        std::mt19937_64 rng_b(1482817ull);
+        std::normal_distribution<double> nrm(0.0, 1.0);
+        for (int64_t i = 0; i < n; ++i) b[i] = nrm(rng_b);
+        auto resid = [&]() {
+            p.levels[0].A.apply(x.data(), r.data());
+            const LowRank& lr = p.levels[0].lowrank;
+            if (lr.m > 0) {  // full operator includes the low-rank term
+                std::vector<double> bt(lr.m, 0.0);
+                for (int64_t i = 0; i < n; ++i)
+                    for (int64_t k = 0; k < lr.m; ++k)
+                        bt[k] += lr.B[i * lr.m + k] * x[i];
+                for (int64_t k = 0; k < lr.m; ++k)
+                    bt[k] *= lr.sqrt_sigma_inv[k] * lr.sqrt_sigma_inv[k];
+                for (int64_t i = 0; i < n; ++i)
+                    for (int64_t k = 0; k < lr.m; ++k)
+                        r[i] += lr.B[i * lr.m + k] * bt[k];
+            }
+            double nr = 0.0;
+            for (int64_t i = 0; i < n; ++i) { r[i] -= b[i]; nr += r[i] * r[i]; }
+            return std::sqrt(nr);
+        };
+        double r0 = resid();
+        auto t0 = std::chrono::high_resolution_clock::now();
+        int64_t iters = nsamples;
+        double rn = r0;
+        for (int64_t k = 0; k < iters; ++k) {
+            resid();
+            cyc.apply(r, Pr);
+            for (int64_t i = 0; i < n; ++i) x[i] -= Pr[i];
+        }
+        rn = resid();
+        auto t1 = std::chrono::high_resolution_clock::now();
+        double secs = std::chrono::duration<double>(t1 - t0).count();
+        printf("{\"ms_per_cycle\": %.6f, \"cycles_per_sec\": %.3f, "
+               "\"n\": %lld, \"residual_reduction\": %.6e}\n",
+               1e3 * secs / iters, iters / secs, (long long)n, rn / r0);
+        return 0;
+    }
 
     Sampler sampler(p, 5418513ull);
     int64_t n = p.levels[0].A.rows;
