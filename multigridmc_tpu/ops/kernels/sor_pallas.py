@@ -195,9 +195,6 @@ def _vmem_bytes(n_offsets, H, W, pad, itemsize=4):
     return (n_offsets + 4) * (H + 2 * pad) * (W + 2 * pad) * itemsize
 
 
-MAX_VMEM_BYTES = 100 * 1024 * 1024  # allow compiler-managed spill up to ~HBM scratch
-
-
 def supports(vshape, dtype, n_offsets, pad) -> bool:
     """Whether the single-tile fused kernel can run this problem."""
     if len(vshape) != 2:

@@ -103,3 +103,31 @@ def test_band_cholesky_solver(op):
     x = solver.apply(b)
     err = np.linalg.norm(np.asarray(x - x_exact)) / np.linalg.norm(np.asarray(x_exact))
     assert err < 1e-11
+
+
+def test_dense_cholesky_solver_batched_rhs():
+    """Batched right-hand sides solve identically to per-rhs solves (the MG
+    preconditioner's coarse level sees batched rhs when solving many systems)."""
+    op = PRIOR
+    solver = DenseCholeskySolver(op)
+    rng = np.random.default_rng(8)
+    B = jnp.asarray(rng.normal(size=(5,) + op.vshape))
+    X = solver.apply(B)
+    assert X.shape == B.shape
+    for k in range(5):
+        np.testing.assert_allclose(
+            np.asarray(X[k]), np.asarray(solver.apply(B[k])), rtol=1e-11, atol=1e-12
+        )
+
+
+def test_multigrid_preconditioner_batched_rhs():
+    op = PRIOR
+    pre = MultigridPreconditioner(op, nlevel=3, smoother="SSOR")
+    rng = np.random.default_rng(9)
+    B = jnp.asarray(rng.normal(size=(3,) + op.vshape))
+    X = pre.apply(B)
+    assert X.shape == B.shape
+    for k in range(3):
+        np.testing.assert_allclose(
+            np.asarray(X[k]), np.asarray(pre.apply(B[k])), rtol=1e-10, atol=1e-11
+        )
