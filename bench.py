@@ -5,8 +5,9 @@ Prints ONE JSON line:
 
 Problem (BASELINE.json config 2/3 scaled to production size): 2d 256x256 lattice,
 shifted-Laplace FD prior (Lambda=0.2), posterior with 8 point measurements
-(variance ~1e-6, like measurements_template.cfg), MGMC with 6 levels, W-cycle,
-SOR smoothing - the flagship sampler of the reference (``src/driver_mgmc.cc``).
+(variance ~1e-6, like measurements_template.cfg), MGMC with 5 levels (the
+measured optimum), W-cycle, SOR smoothing - the flagship sampler of the
+reference (``src/driver_mgmc.cc``).
 
 * TPU path: float32, batched independent chains (the TPU-native way to produce
   samples; every chain is a statistically valid MCMC chain) + single-chain
@@ -125,7 +126,11 @@ def measure_baseline():
     subprocess (the reference is single-core float64); cached across runs."""
     if BASELINE_CACHE.exists():
         cached = json.loads(BASELINE_CACHE.read_text())
-        if cached.get("nx") == NX and cached.get("nlevel") == NLEVEL:
+        if (
+            cached.get("nx") == NX
+            and cached.get("nlevel") == NLEVEL
+            and cached.get("cycle") == CYCLE
+        ):
             return cached
     out = subprocess.run(
         [sys.executable, "-m", "multigridmc_tpu.utils.baseline_export",
@@ -133,6 +138,7 @@ def measure_baseline():
         check=True, capture_output=True, text=True, cwd=str(REPO), timeout=1200,
     )
     result = json.loads(out.stdout.strip().splitlines()[-1])
+    result["cycle"] = CYCLE
     BASELINE_CACHE.write_text(json.dumps(result, indent=1))
     return result
 

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..solvers.loop import IterativeSolverParameters, LoopSolver
 from ..solvers.multigrid import MultigridPreconditioner
-from ..utils.config import load_config
+from ..utils.config import echo_config, load_config
 from ..utils.vtk import VTKWriter
 from ..utils.runtime import configure_runtime
 from .common import build_operators
@@ -35,6 +35,7 @@ def main(argv=None):
     print("+------------------------------+")
     print()
     config = load_config(argv[0])
+    echo_config(config)
     prior, op, mparams = build_operators(config)
     mg = config.multigrid
     t0 = time.perf_counter()
@@ -63,7 +64,9 @@ def main(argv=None):
     b = jax.random.normal(key, op.lattice.vshape)
 
     t0 = time.perf_counter()
-    result = solver.solve(b)
+    # device-resident while_loop unless per-iteration reporting was requested
+    # (verbose >= 2 prints the reference's residual/contraction table)
+    result = solver.solve(b) if it.verbose >= 2 else solver.solve_jit(b)
     jax.block_until_ready(result.x)
     print(f"solve time = {time.perf_counter() - t0:.3f} s")
 

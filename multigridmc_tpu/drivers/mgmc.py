@@ -24,10 +24,11 @@ from ..models.posterior import (
     observed_mean_and_variance,
     posterior_mean,
 )
+from ..samplers.base import MeanShiftedSampler
 from ..samplers.cholesky import BandCholeskySampler, DenseCholeskySampler
 from ..samplers.mgmc import MultigridMCSampler
 from ..samplers.sor import SSORSampler
-from ..utils.config import load_config
+from ..utils.config import echo_config, load_config
 from ..utils.vtk import VTKWriter, write_vtk_circle
 from ..utils.runtime import configure_runtime
 from .common import build_operators
@@ -244,9 +245,23 @@ def main(argv=None):
     print("+--------------------------------+")
     print()
     config = load_config(argv[0])
+    echo_config(config)
     prior, op, mparams = build_operators(config)
     samplers = make_samplers(config, op)
     xbar, y, mean_x_exact, f, sample_vec = exact_setup(prior, op, mparams)
+
+    # float32 zero-mean protocol (validated in BASELINE.md): wrap iterative
+    # samplers so the exactly-known (host float64) posterior mean is carried
+    # outside the f32 chain; direct Cholesky samplers have no iterative mean
+    # solve and keep reference semantics
+    ms = config.general.mean_shift.lower()
+    if ms == "on" or (ms == "auto" and jnp.zeros(()).dtype == jnp.float32):
+        for label in ("ssor", "multigridmc"):
+            if label in samplers:
+                samplers[label] = MeanShiftedSampler(samplers[label], mean_x_exact)
+        if ms == "auto":
+            print("float32 run: zero-mean sampling protocol enabled "
+                  "(general.mean_shift = auto)")
 
     for label, sampler in samplers.items():
         measure_sampling_time(

@@ -106,11 +106,12 @@ def _deterministic_kernel(
 def _stochastic_kernel(
     seed_ref, coeffs_ref, f_ref, x_ref, out_ref, xp_ref,
     *, offsets, diag_index, omega, order, color_weights, n_colors, pad,
-    batched=False,
+    n_seed_words=1,
 ):
-    # batched mode passes the full per-chain seed vector in SMEM (Mosaic cannot
-    # block rank-1 SMEM arrays); each grid step picks its chain's seed
-    pltpu.prng_seed(seed_ref[pl.program_id(0)] if batched else seed_ref[0])
+    # the seed is the full PRNG key (2x int32 words for threefry), folded by
+    # prng_seed - a single 31-bit seed would birthday-collide within ~46k
+    # sweeps and silently reuse noise fields between sweeps
+    pltpu.prng_seed(*(seed_ref[i] for i in range(n_seed_words)))
     coeffs = coeffs_ref[:]
     diag = coeffs[diag_index]
     f = _squeeze_block(f_ref[:])
@@ -163,10 +164,13 @@ def _deterministic_kernel_block(
 def _stochastic_kernel_block(
     seed_ref, coeffs_ref, f_ref, x_ref, out_ref, xp_ref,
     *, offsets, diag_index, omega, order, color_weights, n_colors, pad,
+    n_seed_words=1,
 ):
-    # one PRNG seed per chain block: blocks are independent via distinct seeds,
-    # chains within a block draw from one on-chip stream (still iid normals)
-    pltpu.prng_seed(seed_ref[pl.program_id(0)])
+    # one PRNG seed (n_seed_words int32 words) per chain block: blocks are
+    # independent via distinct seeds, chains within a block draw from one
+    # on-chip stream (still iid normals)
+    i = pl.program_id(0)
+    pltpu.prng_seed(*(seed_ref[i * n_seed_words + j] for j in range(n_seed_words)))
     coeffs = coeffs_ref[:]
     diag = coeffs[diag_index]
     f = f_ref[:]
@@ -287,24 +291,31 @@ def fused_gibbs_sweep_batched(
     *, offsets, diag_index, omega, order, color_weights, n_colors, interpret=False,
 ):
     """Batched stochastic sweep; ``seeds`` provides one PRNG seed per chain
-    block (pass nchains seeds - the first n_blocks are used)."""
+    block - either rank-1 ``(>= n_blocks,)`` int32 or rank-2
+    ``(>= n_blocks, n_words)`` full key words (the first n_blocks are used)."""
     pad = max(max(abs(o) for o in off) for off in offsets)
     C, H, W = x.shape
     nk = coeffs.shape[0]
     bc = pick_block_chains(C, H, W, nk, pad)
     nblocks = C // bc
+    seeds = jnp.asarray(seeds)
+    if seeds.dtype == jnp.uint32:
+        seeds = jax.lax.bitcast_convert_type(seeds, jnp.int32)
+    seeds = seeds.astype(jnp.int32)
+    n_seed_words = seeds.shape[1] if seeds.ndim == 2 else 1
     kern = functools.partial(
         _stochastic_kernel_block,
         offsets=offsets, diag_index=diag_index, omega=omega, order=order,
         color_weights=color_weights, n_colors=n_colors, pad=pad,
+        n_seed_words=n_seed_words,
     )
-    seeds = jnp.asarray(seeds, jnp.int32)[:nblocks]
+    seeds = seeds[:nblocks].reshape(-1)
     return pl.pallas_call(
         kern,
         grid=(nblocks,),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         in_specs=[
-            pl.BlockSpec((nblocks,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblocks * n_seed_words,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((nk, H, W), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -313,6 +324,22 @@ def fused_gibbs_sweep_batched(
         scratch_shapes=[pltpu.VMEM((bc, H + 2 * pad, W + 2 * pad), x.dtype)],
         interpret=interpret,
     )(seeds, coeffs, f, x)
+
+
+def seed_words(key_or_seed) -> jax.Array:
+    """Full-entropy int32 seed word vector for ``pltpu.prng_seed``.
+
+    Accepts a typed PRNG key, raw uint32 key data, or a plain int scalar;
+    returns a rank-1 int32 vector (all words are folded into the kernel seed,
+    so distinct keys give distinct on-chip noise streams).
+    """
+    k = key_or_seed
+    if hasattr(k, "dtype") and jnp.issubdtype(k.dtype, jax.dtypes.prng_key):
+        k = jax.random.key_data(k)
+    k = jnp.atleast_1d(jnp.asarray(k))
+    if k.dtype == jnp.uint32:
+        k = jax.lax.bitcast_convert_type(k, jnp.int32)
+    return k.astype(jnp.int32).reshape(-1)
 
 
 @functools.partial(
@@ -327,14 +354,16 @@ def fused_gibbs_sweep(
 ):
     """One stochastic (Gibbs) multi-colour SOR sweep with on-chip noise.
 
-    ``seed`` is an int32 scalar; the caller derives it from the step's PRNG key
-    so chains remain reproducible.
+    ``seed`` is an int32 scalar or word vector (see :func:`seed_words`); the
+    caller derives it from the step's PRNG key so chains remain reproducible.
     """
     pad = max(max(abs(o) for o in off) for off in offsets)
+    seed = seed_words(seed)
     kern = functools.partial(
         _stochastic_kernel,
         offsets=offsets, diag_index=diag_index, omega=omega, order=order,
         color_weights=color_weights, n_colors=n_colors, pad=pad,
+        n_seed_words=seed.shape[0],
     )
     H, W = x.shape
     return pl.pallas_call(
@@ -349,4 +378,4 @@ def fused_gibbs_sweep(
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), x.dtype)],
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), coeffs, f, x)
+    )(seed, coeffs, f, x)

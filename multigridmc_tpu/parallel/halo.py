@@ -28,7 +28,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax exposes it under experimental only
+    from jax.experimental.shard_map import shard_map
 
 
 def _ppermute_shift(x_slice, axis_name: str, direction: int):

@@ -34,3 +34,43 @@ class Sampler:
 
     def unfix_rhs(self) -> None:
         """Drop cached f-dependent state (no-op by default)."""
+
+
+class MeanShiftedSampler(Sampler):
+    """Zero-mean float32 protocol as a first-class sampler wrapper.
+
+    Direct-rhs sampling in float32 carries an O(cond(Q) * eps32) mean bias
+    (~4% on the bench posterior): the Gibbs chain implicitly solves ``Q mu = f``
+    in float32.  This wrapper samples the *fluctuation* ``e ~ N(0, Q^{-1})``
+    with f = 0 on device and carries the exactly known (host float64) mean
+    separately:
+
+        x' = mean + K_0(x - mean, .)
+
+    Exact in expectation (the validated protocol B of BASELINE.md "Float32
+    statistical validation"); the covariance is untouched.  The rhs argument of
+    ``apply`` is ignored - the wrapper represents the fixed target
+    ``N(mean, Q^{-1})`` the caller built it with, matching reference semantics
+    of ``driver_mgmc.cc:51-64`` where f = Q mean.
+    """
+
+    def __init__(self, sampler: Sampler, mean):
+        super().__init__(sampler.op)
+        import jax.numpy as jnp
+
+        self.inner = sampler
+        dtype = sampler.op.coeffs.dtype
+        self.mean = jnp.asarray(mean, dtype=dtype)
+        self._zero = jnp.zeros(sampler.op.vshape, dtype=dtype)
+
+    def apply(self, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
+        del f  # target mean is carried exactly; see class docstring
+        e = x - self.mean
+        e = self.inner.apply(key, self._zero, e)
+        return self.mean + e
+
+    def fix_rhs(self, f: jax.Array) -> None:
+        self.inner.fix_rhs(self._zero)
+
+    def unfix_rhs(self) -> None:
+        self.inner.unfix_rhs()

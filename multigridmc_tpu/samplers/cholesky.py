@@ -49,16 +49,17 @@ class DenseCholeskySampler(Sampler):
         self._g = None
 
     def _solve_L(self, v: jax.Array) -> jax.Array:
-        """Solve U^T g = v, i.e. L g = v; v shape (*batch, n)."""
-        vt = jnp.moveaxis(jnp.atleast_2d(v), -1, 0)  # (n, batch)
+        """Solve U^T g = v, i.e. L g = v; v shape (*batch, n) with any number
+        of leading batch axes (flattened to one for the triangular solve)."""
+        vt = jnp.atleast_2d(v).reshape(-1, v.shape[-1]).T  # (n, batch)
         g = jax.scipy.linalg.solve_triangular(self.L, vt, lower=True)
-        return jnp.moveaxis(g, 0, -1).reshape(v.shape)
+        return g.T.reshape(v.shape)
 
     def _solve_LT(self, v: jax.Array) -> jax.Array:
         """Solve U x = v, i.e. L^T x = v."""
-        vt = jnp.moveaxis(jnp.atleast_2d(v), -1, 0)
+        vt = jnp.atleast_2d(v).reshape(-1, v.shape[-1]).T
         y = jax.scipy.linalg.solve_triangular(self.L.T, vt, lower=False)
-        return jnp.moveaxis(y, 0, -1).reshape(v.shape)
+        return y.T.reshape(v.shape)
 
     def fix_rhs(self, f: jax.Array) -> None:
         batch, n = _split_batch(self.op, f)
@@ -127,12 +128,20 @@ class BandCholeskySampler(Sampler):
 
     def apply(self, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
         batch, n = _split_batch(self.op, x)
-        f_np = np.broadcast_to(np.asarray(f, dtype=np.float64), x.shape).reshape(batch + (n,))
         xi = np.asarray(jax.random.normal(key, batch + (n,), dtype=jnp.float64))
         if batch:
-            g = self._solve_L(f_np.reshape(-1, n).T)  # (n, k)
-            y = self._solve_LT(xi.reshape(-1, n).T + g).T.reshape(batch + (n,))
+            if self._g is not None:
+                # fixed rhs: the cached g = L^{-1} f broadcasts over the batch
+                y = self._solve_LT(xi.reshape(-1, n).T + self._g[:, None])
+            else:
+                f_np = np.broadcast_to(
+                    np.asarray(f, dtype=np.float64), x.shape
+                ).reshape(-1, n)
+                g = self._solve_L(f_np.T)  # (n, k)
+                y = self._solve_LT(xi.reshape(-1, n).T + g)
+            y = y.T.reshape(batch + (n,))
         else:
+            f_np = np.asarray(f, dtype=np.float64).reshape(n)
             g = self._g if self._g is not None else self._solve_L(f_np)
             y = self._solve_LT(xi + g)
         return jnp.asarray(y.reshape(x.shape), dtype=self._dtype)

@@ -77,7 +77,7 @@ class SORSampler(Sampler):
         """Fused path: diagonal noise + sweep in one Pallas kernel (single-tile
         for one chain, chain-gridded for a batch); the (small) low-rank noise
         term and Woodbury correction stay outside."""
-        from ..ops.kernels.sor_pallas import fused_gibbs_sweep
+        from ..ops.kernels.sor_pallas import fused_gibbs_sweep, seed_words
 
         op = self.op
         sm = self.smoother
@@ -98,7 +98,9 @@ class SORSampler(Sampler):
             color_weights=sm.coloring.weights, n_colors=sm.coloring.n_colors,
             interpret=sm._pallas_interpret,
         )
-        seed = jax.random.randint(kx, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        # full 64-bit key words (not a 31-bit draw, which would birthday-collide
+        # across ~46k sweeps and reuse noise fields between sweeps)
+        seed = seed_words(kx)
         x = fused_gibbs_sweep(seed, op.coeffs, jnp.broadcast_to(c, x.shape), x, **kwargs)
         if sm.B_bar is not None:
             x = sm._lowrank_correct(x)

@@ -56,8 +56,15 @@ class LoopSolver:
 
     def solve(self, b: jax.Array) -> SolveResult:
         p = self.params
-        step = jax.jit(lambda x, b: x - self.preconditioner.apply(self.op.apply(x) - b))
-        resid = jax.jit(lambda x, b: jnp.linalg.norm(self.op.apply(x) - b))
+
+        # one operator application + one preconditioner cycle per iteration,
+        # fused into a single dispatch (the reference computes r once and
+        # reuses it for both the norm and the update, loop_solver.cc:26-41)
+        @jax.jit
+        def step(x, b):
+            r = self.op.apply(x) - b
+            return x - self.preconditioner.apply(r), jnp.linalg.norm(r)
+
         r0_nrm = float(jnp.linalg.norm(b))
         if p.verbose >= 2:
             print(f"Initial residual ||r_0|| = {r0_nrm:12.4f}")
@@ -67,7 +74,8 @@ class LoopSolver:
         history = []
         converged, niter, r_nrm = False, p.maxiter, r0_nrm
         for k in range(p.maxiter):
-            r_nrm = float(resid(x, b))
+            x_new, r_nrm_dev = step(x, b)
+            r_nrm = float(r_nrm_dev)
             history.append(r_nrm)
             if p.verbose >= 2:
                 print(f"{k:5d}   {r_nrm:8.3e}   {r_nrm / r0_nrm:12.3e}   {r_nrm / rold_nrm:6.3f}")
@@ -75,7 +83,7 @@ class LoopSolver:
                 converged, niter = True, k
                 break
             rold_nrm = r_nrm
-            x = step(x, b)
+            x = x_new
         if p.verbose >= 1:
             if converged:
                 print(f"Solver converged after {niter:5d} iterations")
@@ -85,26 +93,41 @@ class LoopSolver:
         return SolveResult(x, converged, niter, r_nrm, history)
 
     def solve_jit(self, b: jax.Array) -> SolveResult:
-        """Device-resident ``lax.while_loop`` version (jit this whole method's
-        closure via ``jax.jit(solver.solve_jit)`` patterns upstream)."""
+        """Device-resident ``lax.while_loop`` version: the entire Richardson
+        iteration runs in one dispatch, one operator application per iteration
+        (the residual is carried in the loop state)."""
         p = self.params
-        r0_nrm = jnp.linalg.norm(b)
 
-        def cond(state):
-            k, x, r_nrm = state
-            return (k < p.maxiter) & ~((r_nrm / r0_nrm < p.rtol) & (r_nrm < p.atol))
+        @jax.jit
+        def run(b):
+            r0_nrm = jnp.linalg.norm(b)
 
-        def body(state):
-            k, x, _ = state
-            r = self.op.apply(x) - b
-            x = x - self.preconditioner.apply(r)
-            r_nrm = jnp.linalg.norm(self.op.apply(x) - b)
-            return k + 1, x, r_nrm
+            def cond(state):
+                k, x, r, r_nrm = state
+                return (k < p.maxiter) & ~((r_nrm / r0_nrm < p.rtol) & (r_nrm < p.atol))
 
-        k0 = jnp.asarray(0)
-        x0 = jnp.zeros_like(b)
-        k, x, r_nrm = jax.lax.while_loop(cond, body, (k0, x0, r0_nrm))
-        return SolveResult(x, bool(r_nrm / r0_nrm < p.rtol), int(k), float(r_nrm))
+            def body(state):
+                k, x, r, _ = state
+                x = x - self.preconditioner.apply(r)
+                r = self.op.apply(x) - b
+                return k + 1, x, r, jnp.linalg.norm(r)
+
+            r0 = -b  # residual at x = 0
+            k, x, _, r_nrm = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0), jnp.zeros_like(b), r0, r0_nrm)
+            )
+            return k, x, r_nrm, r0_nrm
+
+        k, x, r_nrm, r0_nrm = run(b)
+        r_nrm, r0_nrm = float(r_nrm), float(r0_nrm)
+        converged = r_nrm / r0_nrm < p.rtol and r_nrm < p.atol
+        if p.verbose >= 1:
+            if converged:
+                print(f"Solver converged after {int(k):5d} iterations")
+                print(f"||r|| = {r_nrm:8.3e}, ||r||/||r_0|| = {r_nrm / r0_nrm:8.3e}")
+            else:
+                print(f"Solver failed to converge after {p.maxiter:5d} iterations")
+        return SolveResult(x, converged, int(k), r_nrm)
 
 
 class CGSolver:

@@ -30,14 +30,25 @@ class ChainState:
 
     def save(self, path) -> None:
         path = Path(path)
+        key_dtype = getattr(self.key, "dtype", None)
+        is_typed_key = key_dtype is not None and jax.dtypes.issubdtype(
+            key_dtype, jax.dtypes.prng_key
+        )
         payload = {
             "x": np.asarray(self.x),
             "key": np.asarray(jax.random.key_data(self.key))
-            if jax.dtypes.issubdtype(np.asarray(self.key).dtype, jax.dtypes.prng_key)
+            if is_typed_key
             else np.asarray(self.key),
             "step": np.asarray(self.step),
         }
-        meta = {"version": 1, "stats_keys": []}
+        # record the PRNG impl so non-default keys (e.g. 'rbg' on sharded TPU
+        # runs) resume with the same random stream; raw uint32 keys round-trip
+        # as raw arrays rather than being silently wrapped
+        meta = {
+            "version": 2,
+            "stats_keys": [],
+            "key_impl": str(jax.random.key_impl(self.key)) if is_typed_key else None,
+        }
         if self.stats:
             for k, v in self.stats.items():
                 payload[f"stat_{k}"] = np.asarray(v)
@@ -53,7 +64,17 @@ class ChainState:
         with np.load(Path(path)) as data:
             meta = json.loads(bytes(data["meta"]).decode())
             key_data = data["key"]
-            key = jax.random.wrap_key_data(np.asarray(key_data, dtype=np.uint32))
+            # version-1 checkpoints recorded no impl; they were only ever
+            # written for typed default-impl keys, so wrap with the default
+            impl = meta.get("key_impl", "__wrap_default__")
+            if impl is None:
+                key = np.asarray(key_data)  # raw (untyped) key array
+            elif impl == "__wrap_default__":
+                key = jax.random.wrap_key_data(np.asarray(key_data, dtype=np.uint32))
+            else:
+                key = jax.random.wrap_key_data(
+                    np.asarray(key_data, dtype=np.uint32), impl=impl
+                )
             stats = {k: data[f"stat_{k}"] for k in meta["stats_keys"]} or None
             return cls(
                 x=np.asarray(data["x"]),

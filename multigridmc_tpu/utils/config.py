@@ -123,6 +123,11 @@ class GeneralParameters:
     save_posterior_statistics: bool = False
     measure_convergence: bool = False
     operator: str = "posterior"  # "prior" or "posterior"
+    # float32 zero-mean protocol (BASELINE.md): "auto" enables it whenever the
+    # run is float32 (TPU default), "on"/"off" force it.  Avoids the
+    # O(cond(Q)*eps32) mean bias of direct-rhs f32 sampling while keeping
+    # reference semantics (driver_mgmc.cc:51-64) in float64 runs untouched.
+    mean_shift: str = "auto"
 
 
 @dataclasses.dataclass
@@ -192,8 +197,19 @@ class PeriodicCorrelationLengthModelParameters:
     Lambda_max: float = 0.4
 
 
-def _fill(cls, block: Dict[str, Any], **extra):
+def _fill(cls, block: Dict[str, Any], section: str = "", **extra):
     fields = {f.name for f in dataclasses.fields(cls)}
+    unknown = sorted(set(block) - fields)
+    if unknown:
+        # a typo'd key must not silently become a default
+        # (the reference echoes every parsed value, parameters.cc:67-68)
+        import sys
+
+        print(
+            f"WARNING: unknown key(s) in config block '{section or cls.__name__}' "
+            f"ignored: {', '.join(unknown)}",
+            file=sys.stderr,
+        )
     kwargs = {k: v for k, v in block.items() if k in fields}
     kwargs.update(extra)
     return cls(**kwargs)
@@ -252,8 +268,22 @@ def load_config(path) -> Config:
         nsamplesconvergence=conv.get("nsamples", 1000),
     )
 
+    known_sections = {
+        "general", "lattice", "cholesky", "smoother", "iterative_solver",
+        "multigrid", "sampling", "prior", "constantcorrelationlengthmodel",
+        "periodiccorrelationlengthmodel", "measurements",
+    }
+    unknown_sections = sorted(set(raw) - known_sections)
+    if unknown_sections:
+        import sys
+
+        print(
+            f"WARNING: unknown config section(s) ignored: {', '.join(unknown_sections)}",
+            file=sys.stderr,
+        )
+
     meas_raw = dict(raw.get("measurements", {}))
-    meas = _fill(MeasurementConfig, meas_raw)
+    meas = _fill(MeasurementConfig, meas_raw, "measurements")
     if meas.sample_location is not None:
         meas.sample_location = np.asarray(meas_raw["sample_location"], dtype=np.float64)
     if meas.filename:
@@ -270,21 +300,44 @@ def load_config(path) -> Config:
             meas.variance = np.asarray(mraw.get("variance", []), dtype=np.float64)
 
     return Config(
-        general=_fill(GeneralParameters, raw.get("general", {})),
-        lattice=_fill(LatticeParameters, raw.get("lattice", {})),
-        cholesky=_fill(CholeskyParameters, raw.get("cholesky", {})),
-        smoother=_fill(SmootherParameters, raw.get("smoother", {})),
-        iterative_solver=_fill(IterativeSolverParamGroup, raw.get("iterative_solver", {})),
-        multigrid=_fill(MultigridParameters, raw.get("multigrid", {})),
+        general=_fill(GeneralParameters, raw.get("general", {}), "general"),
+        lattice=_fill(LatticeParameters, raw.get("lattice", {}), "lattice"),
+        cholesky=_fill(CholeskyParameters, raw.get("cholesky", {}), "cholesky"),
+        smoother=_fill(SmootherParameters, raw.get("smoother", {}), "smoother"),
+        iterative_solver=_fill(
+            IterativeSolverParamGroup, raw.get("iterative_solver", {}), "iterative_solver"
+        ),
+        multigrid=_fill(MultigridParameters, raw.get("multigrid", {}), "multigrid"),
         sampling=sampling,
-        prior=_fill(PriorParameters, raw.get("prior", {})),
+        prior=_fill(PriorParameters, raw.get("prior", {}), "prior"),
         constant_correlationlength=_fill(
             ConstantCorrelationLengthModelParameters,
             raw.get("constantcorrelationlengthmodel", {}),
+            "constantcorrelationlengthmodel",
         ),
         periodic_correlationlength=_fill(
             PeriodicCorrelationLengthModelParameters,
             raw.get("periodiccorrelationlengthmodel", {}),
+            "periodiccorrelationlengthmodel",
         ),
         measurements=meas,
     )
+
+
+def echo_config(config: Config, file=None) -> None:
+    """Print the fully parsed configuration, mirroring the reference's config
+    echo during parse (``parameters.cc:67-68``): every effective value is shown,
+    so defaulted/typo'd settings are visible."""
+    import sys
+
+    file = file or sys.stdout
+    for group_field in dataclasses.fields(config):
+        group = getattr(config, group_field.name)
+        print(f"{group_field.name}:", file=file)
+        for f in dataclasses.fields(group):
+            v = getattr(group, f.name)
+            if isinstance(v, np.ndarray):
+                v = np.array2string(np.asarray(v).reshape(-1)[:8], precision=6) + (
+                    " ..." if v.size > 8 else ""
+                )
+            print(f"    {f.name} = {v}", file=file)

@@ -193,12 +193,17 @@ def make_posterior_2d(nx=8):
 
 
 def test_multigridmc_sampler_2d():
-    """cf. ``TestMultigridMCSampler2d`` fast tier: 8x8 lattice, ~400k samples."""
+    """cf. ``TestMultigridMCSampler2d``: fast tier 8x8 / ~400k samples / 4e-3;
+    thorough tier at the reference scale - 16x16, 2M+ samples, tol 2.2e-3
+    (``test_sampler.hh:318-320``)."""
     op = make_posterior_2d(16 if THOROUGH else 8)
     sampler = MultigridMCSampler(
         op, nlevel=3, smoother="SSOR", coarse_solver="Cholesky", omega=1.0, cycle=1
     )
-    nchains, nsteps, tol = tier(1024, 400, 4e-3)
+    if THOROUGH:
+        nchains, nsteps, tol = 2048, 1000, 2.2e-3  # 2.048M samples
+    else:
+        nchains, nsteps, tol = 1024, 400, 4e-3
     em, ec = mean_covariance_error(op, sampler, nchains=nchains, nwarmup=20, nsteps=nsteps)
     assert em < tol and ec < tol, (em, ec)
 
@@ -295,3 +300,71 @@ def test_multigridmc_sampler_biharmonic_2d():
     # fast/thorough two-tier idiom (test_sampler.hh:318-320)
     em, ec = mean_covariance_error(op, sampler, nchains=512, nwarmup=30, nsteps=80)
     assert em < 1.5e-2 and ec < 1.5e-2, (em, ec)
+
+
+def test_mean_shifted_sampler():
+    """The zero-mean (mean_shift) protocol is exact: wrapping a sampler with
+    the known mean reproduces the same mean/covariance through the fluctuation
+    chain (BASELINE.md protocol B, promoted per VERDICT r1 #8)."""
+    from multigridmc_tpu.samplers.base import MeanShiftedSampler
+
+    op = make_operator_1d(True)
+    n = op.lattice.nvertex
+    rng = np.random.default_rng(1342517)
+    mean_exact = rng.uniform(size=n)
+    Q = op.to_dense()
+    f = jnp.asarray((Q @ mean_exact).reshape(op.lattice.vshape))
+    cov_exact = np.linalg.inv(Q)
+
+    inner = SSORSampler(op, omega=1.0)
+    sampler = MeanShiftedSampler(inner, mean_exact.reshape(op.lattice.vshape))
+
+    key = jax.random.PRNGKey(99)
+    nchains, nwarmup, nsteps = 2048, 50, 250
+    x = jnp.zeros((nchains,) + op.lattice.vshape)
+
+    @jax.jit
+    def run(x, key):
+        def body(i, x):
+            return sampler.apply(jax.random.fold_in(key, i), f, x)
+
+        x = jax.lax.fori_loop(0, nwarmup, body, x)
+
+        def step(carry, i):
+            x, sx, sxx = carry
+            x = sampler.apply(jax.random.fold_in(key, nwarmup + i), f, x)
+            xf = x.reshape(nchains, n)
+            return (x, sx + xf.sum(axis=0), sxx + xf.T @ xf), 0.0
+
+        (x, sx, sxx), _ = jax.lax.scan(
+            step, (x, jnp.zeros((n,)), jnp.zeros((n, n))), jnp.arange(nsteps)
+        )
+        return sx, sxx
+
+    sx, sxx = run(x, key)
+    total = nchains * nsteps
+    Ex = np.asarray(sx) / total
+    cov = np.asarray(sxx) / total - np.outer(Ex, Ex)
+    assert np.max(np.abs(Ex - mean_exact)) < 2e-3
+    assert np.max(np.abs(cov - cov_exact)) < 2e-3
+
+
+def test_dense_cholesky_sampler_multidim_batch():
+    """Multi-dimensional chain batches (c1, c2, *vshape) sample correctly
+    (ADVICE r1: moveaxis produced rank-3 rhs the triangular solve rejected)."""
+    op = make_operator_1d(False)
+    sampler = DenseCholeskySampler(op)
+    n = op.lattice.nvertex
+    rng = np.random.default_rng(11)
+    mean_exact = rng.uniform(size=n)
+    Q = op.to_dense()
+    f = jnp.asarray((Q @ mean_exact).reshape(op.lattice.vshape))
+    x = jnp.zeros((16, 64) + op.lattice.vshape)
+    key = jax.random.PRNGKey(123)
+    acc = np.zeros(n)
+    nsteps = 40
+    for i in range(nsteps):
+        x = sampler.apply(jax.random.fold_in(key, i), f, x)
+        acc += np.asarray(x).reshape(-1, n).mean(axis=0)
+    assert x.shape == (16, 64) + op.lattice.vshape
+    assert np.max(np.abs(acc / nsteps - mean_exact)) < 2e-2

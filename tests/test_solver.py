@@ -1,11 +1,18 @@
-"""Solver convergence tests, mirroring ``src/solver/test_solver.hh:98-170``:
-on a 256^2 posterior, Cholesky solve error <= 1e-11 and MG-preconditioned
-Richardson (SSOR, V-cycle) reaches rtol 1e-13 within 100 iterations, prior and
-low-rank posterior variants; plus the CG companion solver."""
+"""Solver convergence tests, mirroring ``src/solver/test_solver.hh:98-170``.
+
+The fast tier runs the same gates at reduced scale (64^2, 4 levels) to keep the
+suite quick; ``MGMC_THOROUGH=1`` adds the reference-scale gates - 256^2
+posterior, 5 levels, MG-preconditioned Richardson (SSOR, V-cycle) to rtol 1e-13
+within 100 iterations (``test_solver.hh:25-26,129-137``) and the band ("sparse")
+Cholesky direct solve at 256^2."""
+
+import os
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
+
+THOROUGH = os.environ.get("MGMC_THOROUGH", "0") == "1"
 
 from multigridmc_tpu.lattice import Lattice
 from multigridmc_tpu.models.correlation import ConstantCorrelationLengthModel
@@ -101,6 +108,38 @@ def test_band_cholesky_solver(op):
     b = op.apply(x_exact)
     solver = BandCholeskySolver(op)
     x = solver.apply(b)
+    err = np.linalg.norm(np.asarray(x - x_exact)) / np.linalg.norm(np.asarray(x_exact))
+    assert err < 1e-11
+
+
+@pytest.mark.skipif(not THOROUGH, reason="reference-scale gate (MGMC_THOROUGH=1)")
+@pytest.mark.parametrize("which", ["prior", "posterior"])
+def test_multigrid_richardson_reference_scale(which):
+    """The reference gate at full scale (``test_solver.hh:25-26,129-137``):
+    256^2 FEM posterior, 5 levels, SSOR V-cycle, rtol 1e-13 within 100 iters."""
+    prior, posterior = make_operators(nx=256)
+    op = prior if which == "prior" else posterior
+    precond = MultigridPreconditioner(
+        op, nlevel=5, smoother="SSOR", npresmooth=1, npostsmooth=1, omega=1.0, cycle=1
+    )
+    rng = np.random.default_rng(12)
+    b = jnp.asarray(rng.normal(size=op.vshape))
+    solver = LoopSolver(
+        op, precond, IterativeSolverParameters(rtol=1e-13, atol=1e-9, maxiter=100)
+    )
+    result = solver.solve_jit(b)
+    assert result.converged, f"MG solver did not converge: ||r||={result.rnorm}"
+
+
+@pytest.mark.skipif(not THOROUGH, reason="reference-scale gate (MGMC_THOROUGH=1)")
+def test_band_cholesky_solver_reference_scale():
+    """Direct ("sparse") solve at the reference's 256^2 solver scale
+    (``test_solver.hh:98-115`` uses CholMod; here the exact band factor)."""
+    prior, posterior = make_operators(nx=256)
+    rng = np.random.default_rng(13)
+    x_exact = jnp.asarray(rng.normal(size=posterior.vshape))
+    b = posterior.apply(x_exact)
+    x = BandCholeskySolver(posterior).apply(b)
     err = np.linalg.norm(np.asarray(x - x_exact)) / np.linalg.norm(np.asarray(x_exact))
     assert err < 1e-11
 

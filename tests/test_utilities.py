@@ -150,3 +150,30 @@ def test_measurement_vector_radius0_nearest_vertex():
     idx = np.unravel_index(np.argmax(w), lat.vshape)
     # nearest interior vertex to (0.49, 0.26) on h=1/8 grid: x=0.5 (col 3), y=0.25 (row 1)
     assert idx == (1, 3)
+
+
+def test_chain_checkpoint_key_impl_roundtrip(tmp_path):
+    """Non-default PRNG impls and raw uint32 keys survive save/load exactly
+    (ADVICE r1: impl was silently dropped)."""
+    import jax
+    from multigridmc_tpu.utils.checkpoint import ChainState
+
+    x = np.zeros((3, 3))
+    # typed non-default impl
+    k_rbg = jax.random.key(7, impl="rbg")
+    p = tmp_path / "rbg.npz"
+    ChainState(x=x, key=k_rbg, step=5).save(p)
+    loaded = ChainState.load(p)
+    assert str(jax.random.key_impl(loaded.key)) == "rbg"
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(loaded.key)),
+        np.asarray(jax.random.key_data(k_rbg)),
+    )
+    # raw (untyped) key stays raw
+    k_raw = np.asarray(jax.random.PRNGKey(3))
+    assert k_raw.dtype == np.uint32
+    p2 = tmp_path / "raw.npz"
+    ChainState(x=x, key=k_raw, step=1).save(p2)
+    loaded2 = ChainState.load(p2)
+    assert isinstance(loaded2.key, np.ndarray) and loaded2.key.dtype == np.uint32
+    np.testing.assert_array_equal(loaded2.key, k_raw)
