@@ -1,10 +1,10 @@
-"""Explicit halo-exchange sweeps under ``shard_map``.
+"""Explicit halo-exchange primitives under ``shard_map``.
 
 The default distributed path lets XLA's SPMD partitioner insert halo exchanges
-automatically (see :mod:`multigridmc_tpu.parallel.mesh`).  This module is the
-*explicit* alternative - the building block for multi-host scaling where we
-want manual control over communication (to overlap halo transfers with interior
-compute, and to later swap ``ppermute`` for Pallas remote-DMA kernels):
+automatically (see :mod:`multigridmc_tpu.parallel.mesh`).  This module provides
+the *explicit* building blocks; the full production multi-chip MGMC cycle built
+on them (per-shard noise, Woodbury psum, restrict/prolongate, coarse
+agglomeration) lives in :mod:`multigridmc_tpu.parallel.cycle`:
 
 * :func:`halo_exchange` - pad a local block with width-``pad`` halos fetched
   from mesh neighbours via ``jax.lax.ppermute``; missing neighbours (domain

@@ -84,3 +84,61 @@ def shard_field(x, lattice_dim: int, mesh: Mesh):
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# ----------------------------------------------------------------- multi-host
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialise the multi-host runtime (``jax.distributed``).
+
+    On TPU pods the arguments auto-detect from the environment; on CPU/GPU
+    clusters pass them explicitly (or set JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID).  Safe to call more than once.
+    Returns the process count.
+    """
+    import os
+
+    already = getattr(jax.distributed, "is_initialized", None)
+    if callable(already) and already():
+        return jax.process_count()
+    kwargs = {}
+    ca = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if ca:
+        kwargs["coordinator_address"] = ca
+        kwargs["num_processes"] = int(
+            num_processes or os.environ["JAX_NUM_PROCESSES"]
+        )
+        kwargs["process_id"] = int(process_id or os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # single-process run (no coordinator reachable / already initialised)
+        pass
+    return jax.process_count()
+
+
+def multihost_lattice_mesh(
+    dim: int, chains: int = 1, mesh_shape: Optional[Tuple[int, ...]] = None
+) -> Mesh:
+    """Global ``chains x lattice`` mesh over every device of every host.
+
+    Lays the lattice axes out over ``jax.devices()`` (which enumerates local
+    devices contiguously), so width-1 halo ``ppermute`` partners are ICI
+    neighbours within a host wherever possible and only the outermost lattice
+    axis crosses the DCN boundary - the layout SURVEY.md section 5 calls for.
+    Call :func:`init_distributed` first on every process.
+    """
+    devices = jax.devices()
+    n = len(devices)
+    if n % chains:
+        raise ValueError(f"{chains} chains shards do not divide {n} devices")
+    lat = n // chains
+    if mesh_shape is None:
+        mesh_shape = factor_devices(lat, min(dim, 2))
+    axis_names = AXIS_NAMES[-dim:][-len(mesh_shape):]
+    shape = (chains,) + tuple(mesh_shape)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, ("chains",) + axis_names)
