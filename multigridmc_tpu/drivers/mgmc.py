@@ -85,11 +85,8 @@ def measure_sampling_time(label, sampler, op, config, f, sample_vec, xbar, y, fi
     key = jax.random.PRNGKey(5418513)
     x = jnp.zeros(op.lattice.vshape)
 
-    jittable = not isinstance(sampler, BandCholeskySampler)
-    if jittable:
-        step = jax.jit(lambda key, x: sampler.apply(key, fj, x))
-    else:
-        step = lambda key, x: sampler.apply(key, fj, x)
+    # every sampler (including the band "sparse" Cholesky) is device-resident
+    step = jax.jit(lambda key, x: sampler.apply(key, fj, x))
 
     sampler.fix_rhs(fj)
     for k in range(sp.nwarmup):

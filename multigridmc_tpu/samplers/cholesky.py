@@ -95,56 +95,192 @@ def _band_matrix(op: StencilOperator):
     return ab, b
 
 
+def _band_matrix_stencil(op: StencilOperator):
+    """Lower band of the *stencil part only* (no dense columns): bandwidth is
+    the product of the minor grid extents regardless of measurements."""
+    import dataclasses
+
+    return _band_matrix(dataclasses.replace(op, lowrank=None))
+
+
+class BandFactor:
+    """Device-resident blocked triangular solves for a banded Cholesky factor.
+
+    The factor is computed once on host (``scipy.linalg.cholesky_banded`` -
+    the band contains all fill-in, so this IS the exact sparse factor, the
+    TPU-native counterpart of the reference's CholMod backend,
+    ``cholesky_wrapper.cc:10-77``); the solves run on device as a
+    ``lax.scan`` of dense (b x b) blocks - one triangular solve plus one
+    subdiagonal-block matmul per step, batched over right-hand sides on the
+    MXU.  Fully jittable.
+    """
+
+    def __init__(self, cb: np.ndarray, dtype):
+        b, n = cb.shape[0] - 1, cb.shape[1]
+        blk = max(b, 1)
+        nb = -(-n // blk)
+        npad = nb * blk
+        cbp = np.zeros((b + 1, npad))
+        cbp[:, :n] = cb
+        cbp[0, n:] = 1.0  # unit diagonal on padding
+        self.n, self.blk, self.nb = n, blk, nb
+
+        r, c = np.meshgrid(np.arange(blk), np.arange(blk), indexing="ij")
+        i = np.arange(nb).reshape(-1, 1, 1)
+        # diagonal blocks: L[i*blk+r, i*blk+c] = cbp[r-c, i*blk+c]
+        k1 = np.clip(r - c, 0, b)
+        Ld = np.where(r >= c, cbp[k1, i * blk + c], 0.0)
+        # subdiagonal blocks: L[i*blk+r, (i-1)*blk+c] = cbp[blk+r-c, (i-1)*blk+c]
+        k2 = np.clip(blk + r - c, 0, b)
+        cols = np.maximum(i - 1, 0) * blk + c
+        Ls = np.where((blk + r - c <= b) & (i > 0), cbp[k2, cols], 0.0)
+        self.Ld = jnp.asarray(Ld, dtype=dtype)
+        self.Ls = jnp.asarray(Ls, dtype=dtype)
+
+    def _blocks(self, v: jax.Array):
+        """(..., n) -> (nb, K, blk) with K the flattened batch."""
+        batch = v.shape[:-1]
+        vp = jnp.pad(
+            v.reshape(-1, self.n), ((0, 0), (0, self.nb * self.blk - self.n))
+        )
+        return vp.reshape(-1, self.nb, self.blk).transpose(1, 0, 2), batch
+
+    def _unblocks(self, g: jax.Array, batch):
+        out = g.transpose(1, 0, 2).reshape(-1, self.nb * self.blk)[:, : self.n]
+        return out.reshape(batch + (self.n,))
+
+    def solve_L(self, v: jax.Array) -> jax.Array:
+        """Solve ``L g = v``; v shape (..., n), any leading batch dims."""
+        vb, batch = self._blocks(v)
+
+        def step(g_prev, xs):
+            Ld_i, Ls_i, v_i = xs
+            rhs = v_i - jnp.einsum(
+                "rc,kc->kr", Ls_i, g_prev, precision=jax.lax.Precision.HIGHEST
+            )
+            g = jax.scipy.linalg.solve_triangular(Ld_i, rhs.T, lower=True).T
+            return g, g
+
+        g0 = jnp.zeros_like(vb[0])
+        _, gs = jax.lax.scan(step, g0, (self.Ld, self.Ls, vb))
+        return self._unblocks(gs, batch)
+
+    def solve_LT(self, v: jax.Array) -> jax.Array:
+        """Solve ``L^T x = v`` (reverse block substitution)."""
+        vb, batch = self._blocks(v)
+        # x_i = Ld_i^{-T} (v_i - Ls_{i+1}^T x_{i+1})
+        Ls_next = jnp.concatenate(
+            [self.Ls[1:], jnp.zeros_like(self.Ls[:1])], axis=0
+        )
+
+        def step(x_next, xs):
+            Ld_i, Lsn_i, v_i = xs
+            rhs = v_i - jnp.einsum(
+                "rc,kr->kc", Lsn_i, x_next, precision=jax.lax.Precision.HIGHEST
+            )
+            x = jax.scipy.linalg.solve_triangular(
+                Ld_i.T, rhs.T, lower=False
+            ).T
+            return x, x
+
+        x0 = jnp.zeros_like(vb[0])
+        _, xs = jax.lax.scan(
+            step, x0, (self.Ld, Ls_next, vb), reverse=True
+        )
+        return self._unblocks(xs, batch)
+
+    def solve(self, v: jax.Array) -> jax.Array:
+        """Solve ``L L^T x = v``."""
+        return self.solve_LT(self.solve_L(v))
+
+
 class BandCholeskySampler(Sampler):
     """Band ("sparse") Cholesky sampler, cf. ``SparseCholeskySampler``
-    (``cholesky_sampler.cc:9-23``)."""
+    (``cholesky_sampler.cc:9-23``), fully device-resident.
+
+    The reference folds the low-rank term into A and lets supernodal CholMod
+    absorb the dense measurement columns; a band factor cannot (one dense
+    column makes the band full).  The TPU-native design factors only the
+    banded stencil part ``A`` (bandwidth = product of minor extents) and
+    applies an exact rank-m correction at sampling time:
+
+        y   ~ N(0, A^{-1})            y = L^{-T} xi            (band solve)
+        eta ~ N(0, Sigma)
+        x   = mu + y - W (B^T y + eta),   W = A^{-1} B S^{-1},
+        S   = Sigma + B^T A^{-1} B
+
+    Then ``cov(x - mu) = A^{-1} - W S W^T = Q^{-1}`` exactly (Woodbury), with
+    ``Q = A + B Sigma^{-1} B^T`` the full posterior precision, and
+    ``mu = Q^{-1} f`` computed through the same identity.  All per-sample
+    work is jittable; the factorisation happens once on host at setup."""
 
     def __init__(self, op: StencilOperator):
         super().__init__(op)
-        ab, self.bandwidth = _band_matrix(op)
-        self.cb = scipy.linalg.cholesky_banded(ab, lower=True)  # L band: cb[k,j] = L[j+k,j]
-        self._g = None
-        self._dtype = np.asarray(op.coeffs).dtype
-        # upper band form of U = L^T for solve_banded((0, b), ...)
-        b, n = self.bandwidth, self.cb.shape[1]
-        ub = np.zeros((b + 1, n))
-        for k in range(b + 1):
-            ub[b - k, k:] = self.cb[k, : n - k]
-        self.ub = ub
+        ab, self.bandwidth = _band_matrix_stencil(op)
+        cb = scipy.linalg.cholesky_banded(ab, lower=True)  # L band: cb[k,j]=L[j+k,j]
+        self._dtype = op.coeffs.dtype
+        self.factor = BandFactor(cb, self._dtype)
+        self._mu = None
+        n = ab.shape[1]
+        if op.lowrank is not None:
+            # Woodbury pieces in float64 on host (precision-critical)
+            Bt = np.asarray(op.lowrank.B, dtype=np.float64).reshape(op.m_lowrank, -1)
+            Ainv_B = _np_band_solve(cb, self.bandwidth, Bt.T)  # (n, m)
+            Sig = np.asarray(op.lowrank.Sigma_diag, dtype=np.float64)
+            S = np.diag(Sig) + Bt @ Ainv_B
+            self.W = jnp.asarray(Ainv_B @ np.linalg.inv(S), dtype=self._dtype)
+            self.B_flat = jnp.asarray(Bt.T, dtype=self._dtype)  # (n, m)
+            self.sqrt_Sigma = jnp.asarray(np.sqrt(Sig), dtype=self._dtype)
+        else:
+            self.W = None
 
-    def _solve_L(self, v: np.ndarray) -> np.ndarray:
-        """Solve L g = v (v may be (n,) or (n, k))."""
-        return scipy.linalg.solve_banded((self.bandwidth, 0), self.cb, v)
-
-    def _solve_LT(self, v: np.ndarray) -> np.ndarray:
-        """Solve L^T x = v."""
-        return scipy.linalg.solve_banded((0, self.bandwidth), self.ub, v)
+    def _mean(self, f: jax.Array) -> jax.Array:
+        """mu = Q^{-1} f via the Woodbury identity (f shape (..., n))."""
+        t = self.factor.solve(f)
+        if self.W is not None:
+            hi = jax.lax.Precision.HIGHEST
+            bt = jnp.tensordot(t, self.B_flat, axes=([t.ndim - 1], [0]), precision=hi)
+            t = t - jnp.tensordot(bt, self.W, axes=([bt.ndim - 1], [1]), precision=hi)
+        return t
 
     def fix_rhs(self, f) -> None:
-        self._g = self._solve_L(np.asarray(f, dtype=np.float64).reshape(-1))
+        batch, n = _split_batch(self.op, f)
+        self._mu = self._mean(jnp.asarray(f, self._dtype).reshape(batch + (n,)))
 
     def unfix_rhs(self) -> None:
-        self._g = None
+        self._mu = None
 
     def apply(self, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
         batch, n = _split_batch(self.op, x)
-        xi = np.asarray(jax.random.normal(key, batch + (n,), dtype=jnp.float64))
-        if batch:
-            if self._g is not None:
-                # fixed rhs: the cached g = L^{-1} f broadcasts over the batch
-                y = self._solve_LT(xi.reshape(-1, n).T + self._g[:, None])
-            else:
-                f_np = np.broadcast_to(
-                    np.asarray(f, dtype=np.float64), x.shape
-                ).reshape(-1, n)
-                g = self._solve_L(f_np.T)  # (n, k)
-                y = self._solve_LT(xi.reshape(-1, n).T + g)
-            y = y.T.reshape(batch + (n,))
+        kxi, keta = jax.random.split(key)
+        xi = jax.random.normal(kxi, batch + (n,), dtype=self._dtype)
+        y = self.factor.solve_LT(xi)  # N(0, A^{-1})
+        if self.W is not None:
+            m = self.op.m_lowrank
+            hi = jax.lax.Precision.HIGHEST
+            eta = self.sqrt_Sigma * jax.random.normal(
+                keta, batch + (m,), dtype=self._dtype
+            )
+            bty = jnp.tensordot(y, self.B_flat, axes=([y.ndim - 1], [0]), precision=hi)
+            y = y - jnp.tensordot(
+                bty + eta, self.W, axes=([bty.ndim - 1], [1]), precision=hi
+            )
+        if self._mu is not None:
+            mu = self._mu
         else:
-            f_np = np.asarray(f, dtype=np.float64).reshape(n)
-            g = self._g if self._g is not None else self._solve_L(f_np)
-            y = self._solve_LT(xi + g)
-        return jnp.asarray(y.reshape(x.shape), dtype=self._dtype)
+            fbatch, _ = _split_batch(self.op, f)
+            mu = self._mean(jnp.asarray(f, self._dtype).reshape(fbatch + (n,)))
+        return (mu + y).reshape(x.shape)
+
+
+def _np_band_solve(cb: np.ndarray, b: int, v: np.ndarray) -> np.ndarray:
+    """Host float64 solve of ``L L^T x = v`` from the lower band factor."""
+    g = scipy.linalg.solve_banded((b, 0), cb, v)
+    n = cb.shape[1]
+    ub = np.zeros((b + 1, n))
+    for k in range(b + 1):
+        ub[b - k, k:] = cb[k, : n - k]
+    return scipy.linalg.solve_banded((0, b), ub, g)
 
 
 # Naming parity with the reference's factorisation switch (parameters.hh:87-91)

@@ -56,48 +56,45 @@ class DenseCholeskySolver:
 
 
 class BandCholeskySolver:
-    """Band ("sparse") direct solver for large lattice systems on host.
+    """Band ("sparse") direct solver for large lattice systems, device-resident.
 
     Counterpart of the reference's CholMod-backed ``CholeskySolver``
     (``cholesky_solver.cc:8-44``) for problems too large to densify: the
-    lexicographic band factorisation is the exact sparse factor for lattice
-    operators (all fill-in stays inside the band).  The low-rank term is handled
-    with the same precomputed Woodbury correction.
+    lexicographic band factorisation of the stencil part is its exact sparse
+    factor (all fill-in stays inside the band).  The factorisation runs once on
+    host at setup; the solves are jittable blocked substitutions on device
+    (:class:`multigridmc_tpu.samplers.cholesky.BandFactor`).  The low-rank term
+    uses the precomputed Woodbury correction of ``cholesky_solver.cc:13-26``:
+    ``x = y - B_bar (B^T y)`` with ``y = A^{-1} b``.
     """
 
     def __init__(self, op: StencilOperator):
         import scipy.linalg
-        import dataclasses as _dc
 
-        from ..samplers.cholesky import _band_matrix
+        from ..samplers.cholesky import BandFactor, _band_matrix_stencil, _np_band_solve
 
         self.op = op
-        stencil_only = _dc.replace(op, lowrank=None)
-        ab, self.bandwidth = _band_matrix(stencil_only)
-        self.cb = scipy.linalg.cholesky_banded(ab, lower=True)
-        self._scipy = scipy.linalg
+        dtype = op.coeffs.dtype
+        ab, self.bandwidth = _band_matrix_stencil(op)
+        cb = scipy.linalg.cholesky_banded(ab, lower=True)
+        self.factor = BandFactor(cb, dtype)
         self.B_bar = None
         if op.lowrank is not None:
             m = op.m_lowrank
             B = np.asarray(op.lowrank.B, dtype=np.float64).reshape(m, -1).T  # (n, m)
-            Ainv_B = self._solveh(B)
+            Ainv_B = _np_band_solve(cb, self.bandwidth, B)
             S = np.diag(np.asarray(op.lowrank.Sigma_diag, dtype=np.float64)) + B.T @ Ainv_B
-            self.B_bar = Ainv_B @ np.linalg.inv(S)
-            self.B_flat = B
-
-    def _solveh(self, v):
-        g = self._scipy.solve_banded((self.bandwidth, 0), self.cb, v)
-        b, n = self.bandwidth, self.cb.shape[1]
-        ub = np.zeros((b + 1, n))
-        for k in range(b + 1):
-            ub[b - k, k:] = self.cb[k, : n - k]
-        return self._scipy.solve_banded((0, b), ub, g)
+            self.B_bar = jnp.asarray(Ainv_B @ np.linalg.inv(S), dtype=dtype)
+            self.B_flat = jnp.asarray(B, dtype=dtype)
 
     def apply(self, b):
+        """Solve ``Q x = b``; jittable, supports leading batch dims."""
         shape = b.shape
-        y = self._solveh(np.asarray(b, dtype=np.float64).reshape(-1))
+        n = self.factor.n
+        bf = jnp.asarray(b).reshape((-1, n)) if b.ndim > len(self.op.vshape) else jnp.asarray(b).reshape((n,))
+        y = self.factor.solve(bf)
         if self.B_bar is not None:
-            y = y - self.B_bar @ (self.B_flat.T @ y)
-        import jax.numpy as jnp
-
-        return jnp.asarray(y.reshape(shape), dtype=self.op.coeffs.dtype)
+            hi = jax.lax.Precision.HIGHEST
+            bty = jnp.tensordot(y, self.B_flat, axes=([y.ndim - 1], [0]), precision=hi)
+            y = y - jnp.tensordot(bty, self.B_bar, axes=([bty.ndim - 1], [1]), precision=hi)
+        return y.reshape(shape)

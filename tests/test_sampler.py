@@ -368,3 +368,40 @@ def test_dense_cholesky_sampler_multidim_batch():
         acc += np.asarray(x).reshape(-1, n).mean(axis=0)
     assert x.shape == (16, 64) + op.lattice.vshape
     assert np.max(np.abs(acc / nsteps - mean_exact)) < 2e-2
+
+
+def test_band_factor_device_solves():
+    """BandFactor blocked device solves == scipy band solves, and the
+    stencil-only band stays narrow in the presence of measurements
+    (VERDICT r1 #5: device-resident band triangular solves)."""
+    import scipy.linalg
+    from multigridmc_tpu.samplers.cholesky import (
+        BandFactor,
+        _band_matrix_stencil,
+        _np_band_solve,
+    )
+
+    op = make_posterior_2d(8)  # 7x7 grid, 4 measurements with radius > 0
+    ab, b = _band_matrix_stencil(op)
+    n = ab.shape[1]
+    assert b == 8  # minor extent + 1 (9-point FEM stencil), NOT widened by B
+    cb = scipy.linalg.cholesky_banded(ab, lower=True)
+    factor = BandFactor(cb, jnp.float64)
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(3, n))
+    np.testing.assert_allclose(
+        np.asarray(factor.solve_L(jnp.asarray(v))),
+        scipy.linalg.solve_banded((b, 0), cb, v.T).T,
+        rtol=1e-12, atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(factor.solve(jnp.asarray(v))),
+        _np_band_solve(cb, b, v.T).T,
+        rtol=1e-10, atol=1e-12,
+    )
+    # jittability: the sampler's full apply compiles
+    sampler = BandCholeskySampler(op)
+    f = jnp.asarray(rng.normal(size=op.vshape))
+    step = jax.jit(lambda k, x: sampler.apply(k, f, x))
+    x = step(jax.random.PRNGKey(0), jnp.zeros((4,) + op.vshape))
+    assert x.shape == (4,) + op.vshape and bool(jnp.isfinite(x).all())
