@@ -418,6 +418,52 @@ int main(int argc, char** argv) {
         return 0;
     }
 
+    // --convergence mode: the reference's measure_convergence diagnostic
+    // (driver_mgmc.cc:188-314) for the *lexicographic* sweep order: nreplica
+    // independent chains from x = 0, track q_j = |E[z_j] - E[z]| and
+    // |Var[z_j] - Var[z]| of the centre-vertex observable z = x[n/2] over the
+    // first nsteps chain steps.  Exact posterior mean/variance of z are
+    // computed by the Python orchestrator (native/convergence_compare.py) and
+    // passed in, since the q-table needs them as the limit values.
+    if (argc >= 5 && std::string(argv[4]) == "--convergence") {
+        int64_t nsteps = atoll(argv[2]);
+        int64_t nreplica = atoll(argv[3]);
+        double exact_mean = argc > 5 ? atof(argv[5]) : 0.0;
+        double exact_var = argc > 6 ? atof(argv[6]) : 0.0;
+        Sampler csampler(p, 5418513ull);
+        int64_t n = p.levels[0].A.rows;
+        std::vector<double> f(n, 0.0);
+        std::mt19937_64 rng_f(1342517ull);
+        std::uniform_real_distribution<double> uni(0.0, 1.0);
+        for (int64_t i = 0; i < n; ++i) f[i] = uni(rng_f);
+        std::vector<double> sum_z(nsteps, 0.0), sum_z2(nsteps, 0.0);
+        std::vector<double> xc(n);
+        for (int64_t r = 0; r < nreplica; ++r) {
+            std::fill(xc.begin(), xc.end(), 0.0);
+            for (int64_t j = 0; j < nsteps; ++j) {
+                csampler.apply(f, xc);
+                double z = xc[n / 2];
+                sum_z[j] += z;
+                sum_z2[j] += z * z;
+            }
+        }
+        printf("{\"mode\": \"convergence\", \"nsteps\": %lld, \"nreplica\": %lld, "
+               "\"q_mean\": [",
+               (long long)nsteps, (long long)nreplica);
+        for (int64_t j = 0; j < nsteps; ++j) {
+            double m = sum_z[j] / nreplica;
+            printf("%s%.8e", j ? ", " : "", std::abs(m - exact_mean));
+        }
+        printf("], \"q_var\": [");
+        for (int64_t j = 0; j < nsteps; ++j) {
+            double m = sum_z[j] / nreplica;
+            double v = sum_z2[j] / nreplica - m * m;
+            printf("%s%.8e", j ? ", " : "", std::abs(v - exact_var));
+        }
+        printf("]}\n");
+        return 0;
+    }
+
     Sampler sampler(p, 5418513ull);
     int64_t n = p.levels[0].A.rows;
     std::vector<double> f(n, 0.0), x(n, 0.0), mean(n, 0.0);
