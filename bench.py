@@ -66,6 +66,7 @@ def measure_tpu():
     import jax.numpy as jnp
 
     from multigridmc_tpu.samplers.mgmc import MultigridMCSampler
+    from multigridmc_tpu.utils.runtime import sampling_key
 
     # assembly / Galerkin coarsening / Woodbury+Cholesky setup on the host CPU:
     # eager per-primitive dispatch to a remote TPU is latency-bound (setup math
@@ -92,11 +93,11 @@ def measure_tpu():
     # single chain
     x1 = jax.device_put(jnp.zeros(op.vshape, dtype=dtype), dev)
     run1 = jax.jit(lambda x, key: chain(x, key, NSTEPS_SINGLE))
-    key = jax.random.PRNGKey(1)
+    key = sampling_key(1)
     x1 = run1(x1, key)  # compile + warmup
     jax.block_until_ready(x1)
     t0 = time.perf_counter()
-    x1 = run1(x1, jax.random.PRNGKey(2))
+    x1 = run1(x1, sampling_key(2))
     jax.block_until_ready(x1)
     dt = time.perf_counter() - t0
     results["single_chain_ms_per_sample"] = 1e3 * dt / NSTEPS_SINGLE
@@ -105,10 +106,10 @@ def measure_tpu():
     # batched chains
     xb = jax.device_put(jnp.zeros((NCHAINS,) + op.vshape, dtype=dtype), dev)
     runb = jax.jit(lambda x, key: chain(x, key, NSTEPS_BATCHED))
-    xb = runb(xb, jax.random.PRNGKey(3))
+    xb = runb(xb, sampling_key(3))
     jax.block_until_ready(xb)
     t0 = time.perf_counter()
-    xb = runb(xb, jax.random.PRNGKey(4))
+    xb = runb(xb, sampling_key(4))
     jax.block_until_ready(xb)
     dt = time.perf_counter() - t0
     results["batched_samples_per_sec"] = NCHAINS * NSTEPS_BATCHED / dt

@@ -30,7 +30,7 @@ from ..samplers.mgmc import MultigridMCSampler
 from ..samplers.sor import SSORSampler
 from ..utils.config import echo_config, load_config
 from ..utils.vtk import VTKWriter, write_vtk_circle
-from ..utils.runtime import configure_runtime
+from ..utils.runtime import configure_runtime, sampling_key
 from .common import build_operators
 
 
@@ -82,7 +82,7 @@ def measure_sampling_time(label, sampler, op, config, f, sample_vec, xbar, y, fi
     sp = config.sampling
     fj = jnp.asarray(f)
     svec = jnp.asarray(sample_vec)
-    key = jax.random.PRNGKey(5418513)
+    key = sampling_key(5418513)
     x = jnp.zeros(op.lattice.vshape)
 
     # every sampler (including the band "sparse" Cholesky) is device-resident
@@ -124,7 +124,7 @@ def measure_convergence(label, sampler, op, config, f, sample_vec, xbar, y, file
     nsamples = sp.nsamplesconvergence
     fj = jnp.asarray(f)
     svec = jnp.asarray(sample_vec)
-    key = jax.random.PRNGKey(2813741)
+    key = sampling_key(2813741)
 
     @jax.jit
     def run_chains(key):
@@ -190,7 +190,7 @@ def posterior_statistics(sampler, op, config, f, mean_x_exact, mparams):
     """cf. ``posterior_statistics`` (``driver_mgmc.cc:118-171``)."""
     sp = config.sampling
     fj = jnp.asarray(f)
-    key = jax.random.PRNGKey(815747)
+    key = sampling_key(815747)
     x = jnp.zeros(op.lattice.vshape)
 
     @jax.jit

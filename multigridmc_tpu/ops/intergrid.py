@@ -2,55 +2,83 @@
 
 TPU-native counterpart of ``src/intergrid/intergrid_operator.hh:43-161`` and
 ``intergrid_operator_linear.cc:13-30``.  The reference stores an explicit 3^d
-stencil with indirection arrays; on dense grid fields the same operator is a
-zero-interleave followed by a constant-coefficient {0.5, 1, 0.5} tensor-product
-convolution (prolongation), and the matching convolve-then-subsample gather
-(restriction).  Restriction is the exact transpose of prolongation by
-construction, as verified by the adjointness test (cf.
-``src/intergrid/test_intergrid.hh:155-171``).
+stencil with indirection arrays; here both transfers are expressed as
+*tensor-product matrix contractions*: per dimension a banded ``(n_c, n_f)``
+matrix ``R1`` with row i = {0.5, 1, 0.5} centred at fine index ``2 i + 1``
+(cf. ``Lattice1d::fine_vertex_idx``, ``lattice1d.hh:145-148``), so
 
-A coarse interior vertex with array index i corresponds to fine array index
-2 i + 1 per dimension (cf. ``Lattice1d::fine_vertex_idx``, ``lattice1d.hh:145-148``).
+    restrict    f_c = R1 . r . R1^T        (one contraction per dimension)
+    prolongate  x_f = R1^T . x_c . R1
+
+This is the TPU-native form: each contraction is an MXU matmul that performs
+the {0.5, 1, 0.5} stencil *and* the stride-2 subsample/interleave in one op -
+no strided lane slicing, no 3^d shifted copies.  Restriction is the exact
+transpose of prolongation by construction (same ``R1`` per dimension), as
+verified by the adjointness test (cf. ``src/intergrid/test_intergrid.hh:155-171``).
+
+The matrix entries (1, 0.5) and their per-dim products are exact powers of two,
+so contraction at ``Precision.HIGHEST`` loses no accuracy vs the shift-add
+formulation (only the summation order differs).
 """
 
 from __future__ import annotations
 
-import itertools
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .stencil import shift
-
-_WEIGHT_1D = {-1: 0.5, 0: 1.0, 1: 0.5}
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _offsets_weights(dim: int):
-    for off in itertools.product((-1, 0, 1), repeat=dim):
-        w = 1.0
-        for o in off:
-            w *= _WEIGHT_1D[o]
-        yield off, w
+@functools.lru_cache(maxsize=None)
+def _restrict_matrix_1d(n_fine: int, dtype_name: str) -> np.ndarray:
+    """Banded ``(n_coarse, n_fine)`` full-weighting matrix for one dimension.
+
+    Row i holds weights {0.5, 1, 0.5} at fine indices ``2 i + 1 + {-1, 0, 1}``
+    (out-of-range entries dropped: zero-Dirichlet boundary, matching the
+    stencil gather in ``intergrid_operator.hh:74-88``).  Returned as a host
+    numpy constant (safe to cache across jit traces).
+    """
+    n_coarse = len(range(1, n_fine, 2))
+    R = np.zeros((n_coarse, n_fine), dtype=dtype_name)
+    for i in range(n_coarse):
+        c = 2 * i + 1
+        R[i, c] = 1.0
+        if c - 1 >= 0:
+            R[i, c - 1] = 0.5
+        if c + 1 < n_fine:
+            R[i, c + 1] = 0.5
+    return R
+
+
+def _contract_last_dims(x: jax.Array, mats) -> jax.Array:
+    """Contract each of the trailing ``len(mats)`` axes of x with its matrix."""
+    dim = len(mats)
+    for d, M in enumerate(mats):
+        ax = x.ndim - dim + d
+        x = jnp.moveaxis(x, ax, -1)
+        x = jax.lax.dot_general(
+            x, jnp.asarray(M), (((x.ndim - 1,), (1,)), ((), ())), precision=_HI
+        )
+        x = jnp.moveaxis(x, -1, ax)
+    return x
 
 
 def prolongate(x_coarse: jax.Array, fine_vshape: Tuple[int, ...]) -> jax.Array:
     """``P x_c``: d-linear interpolation from the coarse to the fine grid.
 
-    Injects coarse values at fine positions ``2 i + 1`` and spreads them with the
-    tensor-product {0.5, 1, 0.5} stencil (cf. ``intergrid_operator.hh:106-120``
-    and the linear weights ``intergrid_operator_linear.cc:13-30``).
+    Injects coarse values at fine positions ``2 i + 1`` and spreads them with
+    the tensor-product {0.5, 1, 0.5} stencil (cf. ``intergrid_operator.hh:106-120``
+    and the linear weights ``intergrid_operator_linear.cc:13-30``) - realised as
+    one ``R1^T`` contraction per dimension.
     """
     dim = len(fine_vshape)
-    batch = x_coarse.shape[:-dim] if x_coarse.ndim > dim else ()
-    z = jnp.zeros(batch + tuple(fine_vshape), dtype=x_coarse.dtype)
-    inject = tuple(slice(None) for _ in batch) + tuple(slice(1, None, 2) for _ in range(dim))
-    z = z.at[inject].set(x_coarse)
-    y = None
-    for off, w in _offsets_weights(dim):
-        t = w * shift(z, off)
-        y = t if y is None else y + t
-    return y
+    name = jnp.dtype(x_coarse.dtype).name
+    mats = [_restrict_matrix_1d(fine_vshape[d], name).T for d in range(dim)]
+    return _contract_last_dims(x_coarse, mats)
 
 
 def restrict(x_fine: jax.Array, dim: int | None = None) -> jax.Array:
@@ -60,14 +88,12 @@ def restrict(x_fine: jax.Array, dim: int | None = None) -> jax.Array:
     stencil gather in ``intergrid_operator.hh:74-88``.
     """
     dim = x_fine.ndim if dim is None else dim
-    y = None
-    for off, w in _offsets_weights(dim):
-        t = w * shift(x_fine, off)
-        y = t if y is None else y + t
-    sub = tuple(slice(None) for _ in range(x_fine.ndim - dim)) + tuple(
-        slice(1, None, 2) for _ in range(dim)
-    )
-    return y[sub]
+    name = jnp.dtype(x_fine.dtype).name
+    mats = [
+        _restrict_matrix_1d(x_fine.shape[x_fine.ndim - dim + d], name)
+        for d in range(dim)
+    ]
+    return _contract_last_dims(x_fine, mats)
 
 
 def prolongate_add(

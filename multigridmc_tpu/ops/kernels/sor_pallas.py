@@ -302,6 +302,8 @@ def fused_gibbs_sweep_batched(
     if seeds.dtype == jnp.uint32:
         seeds = jax.lax.bitcast_convert_type(seeds, jnp.int32)
     seeds = seeds.astype(jnp.int32)
+    if seeds.ndim == 2:
+        seeds = fold_seed_words(seeds)
     n_seed_words = seeds.shape[1] if seeds.ndim == 2 else 1
     kern = functools.partial(
         _stochastic_kernel_block,
@@ -326,12 +328,42 @@ def fused_gibbs_sweep_batched(
     )(seeds, coeffs, f, x)
 
 
+# Mosaic's tpu.prng_set_seed_32 rejects more than 2 seed words (measured on
+# v5e: "Setting seed with more than 2 values is not supported"), so wider key
+# data (e.g. the rbg impl's 4 words) is XOR-folded down to 2.
+MAX_SEED_WORDS = 2
+
+
+def fold_seed_words(words: jax.Array, max_words: int = MAX_SEED_WORDS) -> jax.Array:
+    """Hash-fold the trailing word axis down to at most ``max_words`` words.
+
+    Uses the boost ``hash_combine`` mix rather than plain XOR: rbg key data is
+    the 2-word threefry data *duplicated* (``[a, b, a, b]``), which XOR would
+    collapse to all-zeros for every key.
+    """
+    n = words.shape[-1]
+    if n <= max_words:
+        return words
+    pad = (-n) % max_words
+    if pad:
+        z = jnp.zeros(words.shape[:-1] + (pad,), words.dtype)
+        words = jnp.concatenate([words, z], axis=-1)
+    w = words.reshape(words.shape[:-1] + (-1, max_words))
+    gold = jnp.int32(-1640531527)  # 0x9E3779B9
+    out = w[..., 0, :]
+    for i in range(1, w.shape[-2]):
+        c = w[..., i, :]
+        out = out ^ (c + gold + (out << 6) + ((out >> 2) & jnp.int32(0x3FFFFFFF)))
+    return out
+
+
 def seed_words(key_or_seed) -> jax.Array:
     """Full-entropy int32 seed word vector for ``pltpu.prng_seed``.
 
     Accepts a typed PRNG key, raw uint32 key data, or a plain int scalar;
-    returns a rank-1 int32 vector (all words are folded into the kernel seed,
-    so distinct keys give distinct on-chip noise streams).
+    returns a rank-1 int32 vector of at most :data:`MAX_SEED_WORDS` words (all
+    key words are XOR-folded into the kernel seed, so distinct keys give
+    distinct on-chip noise streams).
     """
     k = key_or_seed
     if hasattr(k, "dtype") and jnp.issubdtype(k.dtype, jax.dtypes.prng_key):
@@ -339,7 +371,7 @@ def seed_words(key_or_seed) -> jax.Array:
     k = jnp.atleast_1d(jnp.asarray(k))
     if k.dtype == jnp.uint32:
         k = jax.lax.bitcast_convert_type(k, jnp.int32)
-    return k.astype(jnp.int32).reshape(-1)
+    return fold_seed_words(k.astype(jnp.int32).reshape(-1))
 
 
 @functools.partial(

@@ -189,6 +189,9 @@ def gibbs_sweep_batched_v2(seeds, coeffs, f, x, *, offsets, diag_index, omega,
     seeds = seeds.astype(jnp.int32)
     if seeds.ndim == 1:
         seeds = seeds[:, None]
+    from .sor_pallas import fold_seed_words
+
+    seeds = fold_seed_words(seeds)
     n_seed_words = seeds.shape[1]
     seeds = seeds[:nblocks].reshape(-1)
     params = _common(offsets, diag_index, omega, order, color_weights, n_colors)
