@@ -36,7 +36,9 @@ BASELINE_CACHE = REPO / "BASELINE_MEASURED.json"
 NX = 256
 NLEVEL = 5
 CYCLE = 2
-NCHAINS = 128
+# chain count is a throughput knob (each chain is an independent MCMC chain);
+# the default is the measured throughput optimum on v5e
+NCHAINS = int(os.environ.get("MGMC_BENCH_NCHAINS", "256"))
 NSTEPS_BATCHED = 25
 NSTEPS_SINGLE = 40
 NWARMUP = 10

@@ -330,7 +330,7 @@ def fused_gibbs_sweep_batched(
 
 # Mosaic's tpu.prng_set_seed_32 rejects more than 2 seed words (measured on
 # v5e: "Setting seed with more than 2 values is not supported"), so wider key
-# data (e.g. the rbg impl's 4 words) is XOR-folded down to 2.
+# data (e.g. the rbg impl's 4 words) is hash-folded down to 2.
 MAX_SEED_WORDS = 2
 
 
@@ -362,7 +362,7 @@ def seed_words(key_or_seed) -> jax.Array:
 
     Accepts a typed PRNG key, raw uint32 key data, or a plain int scalar;
     returns a rank-1 int32 vector of at most :data:`MAX_SEED_WORDS` words (all
-    key words are XOR-folded into the kernel seed, so distinct keys give
+    key words are hash-folded into the kernel seed, so distinct keys give
     distinct on-chip noise streams).
     """
     k = key_or_seed

@@ -19,6 +19,13 @@ traffic was lower.  v2 eliminates the scratch entirely:
 Exactness: the same colour-ordered splitting as ``smoothers.sor_sweep`` - the
 full grid of every chain lives in VMEM during its sweep, so each phase sees
 previously-updated colours (verified elementwise in tests/test_pallas_v2.py).
+
+Measured outcome (round 2, un-throttled v5e, same-process fori_loop timing -
+see NOTES_R2.md "Sweep kernel shoot-out"): despite ~3x lower HBM traffic these
+kernels only TIE the XLA masked colour sweep (det 0.75 vs 0.66 ms, Gibbs 1.03
+vs 0.99 ms at 128 x 255^2) - the colour phases are VPU/roll-bound, not
+HBM-bound. They remain exported and bitwise-tested as the building block for
+future fused-cycle work, but the production sweep path stays on XLA.
 """
 
 from __future__ import annotations

@@ -14,6 +14,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 import jax
 import jax.numpy as jnp
+from multigridmc_tpu.utils.runtime import sampling_key
 
 NX = 64
 NLEVEL = 4
@@ -64,11 +65,11 @@ def main():
             return x
 
         x = jax.device_put(jnp.zeros(shape, dtype=jnp.float32), dev)
-        x = run(x, jax.random.PRNGKey(0))
+        x = run(x, sampling_key(0))
         jax.block_until_ready(x)
         log(f"nchains={nchains}: compiled")
         t1 = time.perf_counter()
-        x = run(x, jax.random.PRNGKey(1))
+        x = run(x, sampling_key(1))
         jax.block_until_ready(x)
         dt = time.perf_counter() - t1
         assert bool(jnp.isfinite(x).all())

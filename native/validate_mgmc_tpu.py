@@ -92,7 +92,8 @@ def main():
         )
         return sz, szz
 
-    key = jax.random.PRNGKey(5418513)
+    from multigridmc_tpu.utils.runtime import sampling_key
+    key = sampling_key(5418513)
     total = nchains * nsteps
     stat_err = np.sqrt(z_var_exact / total)  # ignores IACT, chains are near-iid
 
