@@ -39,9 +39,13 @@ CYCLE = 2
 # chain count is a throughput knob (each chain is an independent MCMC chain);
 # the default is the measured throughput optimum on v5e
 NCHAINS = int(os.environ.get("MGMC_BENCH_NCHAINS", "256"))
-NSTEPS_BATCHED = 25
-NSTEPS_SINGLE = 40
-NWARMUP = 10
+# two-length slope timing: the axon tunnel adds a large fixed per-call cost
+# (~30 ms) to every dispatched program, so per-call timing measures the tunnel,
+# not the sampler.  T(n2)-T(n1) over (n2-n1) steps cancels the constant and
+# reports true steady-state device throughput (a production chain runs
+# thousands of steps per dispatch anyway).
+NSTEPS_BATCHED = (25, 100)
+NSTEPS_SINGLE = (100, 400)
 
 
 def build_problem(dtype=None):
@@ -91,31 +95,37 @@ def measure_tpu():
         x, _ = jax.lax.scan(step, x, jnp.arange(nsteps))
         return x
 
+    def slope_seconds_per_step(x0, n1, n2):
+        """Median-of-3 two-length slope; returns (s/step, fixed s/call)."""
+        runs = {n: jax.jit(lambda x, key, n=n: chain(x, key, n)) for n in (n1, n2)}
+        ts = {}
+        for n, run in runs.items():
+            x = run(x0, sampling_key(n))  # compile + warmup
+            jax.block_until_ready(x)
+            samples = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(run(x0, sampling_key(10 * n + i)))
+                samples.append(time.perf_counter() - t0)
+            ts[n] = sorted(samples)[1]
+        per_step = (ts[n2] - ts[n1]) / (n2 - n1)
+        return per_step, ts[n1] - n1 * per_step, runs[n2]
+
     results = {}
     # single chain
     x1 = jax.device_put(jnp.zeros(op.vshape, dtype=dtype), dev)
-    run1 = jax.jit(lambda x, key: chain(x, key, NSTEPS_SINGLE))
-    key = sampling_key(1)
-    x1 = run1(x1, key)  # compile + warmup
-    jax.block_until_ready(x1)
-    t0 = time.perf_counter()
-    x1 = run1(x1, sampling_key(2))
-    jax.block_until_ready(x1)
-    dt = time.perf_counter() - t0
-    results["single_chain_ms_per_sample"] = 1e3 * dt / NSTEPS_SINGLE
-    results["single_chain_samples_per_sec"] = NSTEPS_SINGLE / dt
+    dt, fixed1, run1 = slope_seconds_per_step(x1, *NSTEPS_SINGLE)
+    results["single_chain_ms_per_sample"] = 1e3 * dt
+    results["single_chain_samples_per_sec"] = 1.0 / dt
+    results["fixed_ms_per_dispatch"] = round(1e3 * fixed1, 3)
+    x1 = run1(x1, sampling_key(1))
 
     # batched chains
     xb = jax.device_put(jnp.zeros((NCHAINS,) + op.vshape, dtype=dtype), dev)
-    runb = jax.jit(lambda x, key: chain(x, key, NSTEPS_BATCHED))
-    xb = runb(xb, sampling_key(3))
-    jax.block_until_ready(xb)
-    t0 = time.perf_counter()
-    xb = runb(xb, sampling_key(4))
-    jax.block_until_ready(xb)
-    dt = time.perf_counter() - t0
-    results["batched_samples_per_sec"] = NCHAINS * NSTEPS_BATCHED / dt
+    dtb, _, runb = slope_seconds_per_step(xb, *NSTEPS_BATCHED)
+    results["batched_samples_per_sec"] = NCHAINS / dtb
     results["nchains"] = NCHAINS
+    xb = runb(xb, sampling_key(4))
 
     # sanity: finite samples
     assert bool(jnp.isfinite(xb).all()), "non-finite samples"
