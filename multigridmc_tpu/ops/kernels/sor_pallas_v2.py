@@ -138,11 +138,14 @@ def _common(offsets, diag_index, omega, order, color_weights, n_colors):
     jax.jit,
     static_argnames=("offsets", "diag_index", "omega", "order", "color_weights",
                      "n_colors", "interpret"),
-    donate_argnums=(2,),
 )
 def sweep_batched_v2(coeffs, b, x, *, offsets, diag_index, omega, order,
                      color_weights, n_colors, interpret=False):
-    """Deterministic batched sweep; x (C, *vshape) is donated and updated."""
+    """Deterministic batched sweep; the kernel updates x in place via
+    ``input_output_aliases`` (when traced inside an outer jit XLA elides the
+    copy whenever x is dead afterwards - donation hints on this inner jit
+    would be ignored there, and eager donation would invalidate callers'
+    arrays)."""
     dim = len(offsets[0])
     C, vshape = x.shape[0], x.shape[1:]
     nvert = 1
@@ -172,14 +175,14 @@ def sweep_batched_v2(coeffs, b, x, *, offsets, diag_index, omega, order,
     jax.jit,
     static_argnames=("offsets", "diag_index", "omega", "order", "color_weights",
                      "n_colors", "interpret"),
-    donate_argnums=(3,),
 )
 def gibbs_sweep_batched_v2(seeds, coeffs, f, x, *, offsets, diag_index, omega,
                            order, color_weights, n_colors, interpret=False):
     """Stochastic batched sweep with on-chip noise; one HBM pass total.
 
     ``seeds``: (>= n_blocks, n_words) int32 per-block key words (use
-    sor_pallas.seed_words / vmapped key_data).  x is donated.
+    sor_pallas.seed_words / vmapped key_data).  x is updated in place via
+    ``input_output_aliases`` (see sweep_batched_v2 on donation).
     """
     dim = len(offsets[0])
     C, vshape = x.shape[0], x.shape[1:]

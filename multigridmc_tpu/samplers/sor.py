@@ -73,44 +73,44 @@ class SORSampler(Sampler):
             )
         return c
 
-    def _apply_pallas(self, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
-        """Fused path: diagonal noise + sweep in one Pallas kernel (single-tile
-        for one chain, chain-gridded for a batch); the (small) low-rank noise
-        term and Woodbury correction stay outside."""
-        from ..ops.kernels.sor_pallas import fused_gibbs_sweep, seed_words
+    def _apply_pallas_batched(self, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
+        """Fused batched path: the diagonal noise is drawn by the on-chip PRNG
+        inside the roll-based sweep kernel (one HBM pass per Gibbs sweep -
+        measured 1.7x the XLA sweep+rbg path, NOTES_R2.md); the (small)
+        low-rank noise term and the Woodbury correction stay outside."""
+        from ..ops.kernels.sor_pallas import seed_words
+        from ..ops.kernels.sor_pallas_v2 import gibbs_sweep_batched_v2
 
         op = self.op
         sm = self.smoother
+        vdim = len(op.vshape)
         kx, kb = jax.random.split(key)
         c = f
+        batch = x.shape[: x.ndim - vdim]
         if op.lowrank is not None:
-            vdim = len(op.vshape)
-            batch = x.shape[: x.ndim - vdim]
             xi_lr = jax.random.normal(kb, batch + (op.m_lowrank,), dtype=x.dtype)
             c = c + jnp.tensordot(
                 xi_lr * self.Sigma_inv_sqrt, op.lowrank.B,
                 axes=([xi_lr.ndim - 1], [0]),
                 precision=jax.lax.Precision.HIGHEST,
             )
-        kwargs = dict(
-            offsets=op.offsets, diag_index=op.diag_index,
-            omega=self.omega, order=sm.order,
-            color_weights=sm.coloring.weights, n_colors=sm.coloring.n_colors,
-            interpret=sm._pallas_interpret,
-        )
-        # full 64-bit key words (not a 31-bit draw, which would birthday-collide
-        # across ~46k sweeps and reuse noise fields between sweeps)
-        seed = seed_words(kx)
-        x = fused_gibbs_sweep(seed, op.coeffs, jnp.broadcast_to(c, x.shape), x, **kwargs)
+        xf = x.reshape((-1,) + op.vshape)
+        cf = jnp.broadcast_to(c, x.shape).reshape(xf.shape)
+        # one full-entropy seed per chain (the kernel consumes one per chain
+        # block); distinct per sweep via the folded-in step key
+        seeds = jax.vmap(seed_words)(jax.random.split(kx, xf.shape[0]))
+        out = gibbs_sweep_batched_v2(seeds, op.coeffs, cf, xf, **sm._kernel_params())
+        x = out.reshape(batch + op.vshape)
         if sm.B_bar is not None:
             x = sm._lowrank_correct(x)
         return x
 
     def apply(self, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
+        vdim = len(self.op.vshape)
         for k in range(self.nsmooth):
             kk = jax.random.fold_in(key, k)
-            if self.smoother.use_pallas and x.ndim == 2:
-                x = self._apply_pallas(kk, f, x)
+            if self.smoother.use_pallas_batched and x.ndim > vdim:
+                x = self._apply_pallas_batched(kk, f, x)
             else:
                 c = self.random_rhs(kk, f, x)
                 x = self.smoother.apply(c, x)

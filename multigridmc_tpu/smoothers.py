@@ -38,6 +38,10 @@ from .ops.stencil import StencilOperator
 FORWARD = "forward"
 BACKWARD = "backward"
 
+#: smallest grid extent for which the batched Pallas sweep kernels beat XLA
+#: (below this the per-kernel overhead outweighs the saved HBM passes)
+MIN_PALLAS_EXTENT = 31
+
 
 def color_order(n_colors: int, direction: str) -> Tuple[int, ...]:
     order = tuple(range(n_colors))
@@ -124,41 +128,50 @@ class SORSmoother:
             if op.lowrank is not None
             else None
         )
-        # fused Pallas sweep: single-tile 2d float32 grids on TPU (see
-        # ops/kernels/sor_pallas.py); opt out with MGMC_PALLAS=0
+        # Isolated Pallas sweep kernels are OFF by default (MGMC_PALLAS=1
+        # opts in; MGMC_PALLAS_INTERPRET=1 additionally enables them on CPU
+        # for tests).  Slope-measured on v5e (NOTES_R2.md "LATE-ROUND
+        # CORRECTION"): the roll-based v2 kernel wins 4.0x in isolation at
+        # 256 x 255^2, but *in the production cycle* XLA fuses the noise /
+        # Woodbury / residual passes around its sweep and the isolated kernel
+        # loses that fusion (L0 1.55 vs 1.46 ms) while small levels pay pure
+        # kernel overhead (L3 0.161 vs 0.019 ms).  Single-chain sweeps always
+        # stay on XLA (0.7 us vs 2-4.6 us per 255^2 sweep).  The production
+        # win is the *fused level-visit* kernel family
+        # (ops/kernels/mgmc_visit_pallas.py), which swallows the whole
+        # noise+sweep+Woodbury+residual visit so there is no boundary to
+        # lose fusion across.
         self._pallas_interpret = False
-        self.use_pallas = False
-        if (
-            os.environ.get("MGMC_PALLAS", "1") != "0"
-            and len(op.vshape) == 2
-            and min(op.vshape) >= 63  # tiny grids: XLA fusion is enough and each
-            # extra Mosaic kernel costs ~15 s compile on remote devices
-        ):
-            from .ops.kernels import sor_pallas
+        self.use_pallas_batched = False
+        if os.environ.get("MGMC_PALLAS", "0") == "1" and min(op.vshape) >= MIN_PALLAS_EXTENT:
+            from .ops.kernels import sor_pallas_v2
 
-            if sor_pallas.supports(op.vshape, op.coeffs.dtype, len(op.offsets), 
-                                   max(max(abs(o) for o in off) for off in op.offsets)):
+            if sor_pallas_v2.supports_v2(op.vshape, op.coeffs.dtype, len(op.offsets)):
                 backend = jax.default_backend()
                 if backend == "cpu" and os.environ.get("MGMC_PALLAS_INTERPRET", "0") == "1":
-                    self.use_pallas, self._pallas_interpret = True, True
+                    self.use_pallas_batched, self._pallas_interpret = True, True
                 elif backend != "cpu":
-                    self.use_pallas = True
+                    self.use_pallas_batched = True
+
+    def _kernel_params(self) -> dict:
+        return dict(
+            offsets=self.op.offsets, diag_index=self.op.diag_index,
+            omega=self.omega, order=self.order,
+            color_weights=self.coloring.weights,
+            n_colors=self.coloring.n_colors,
+            interpret=self._pallas_interpret,
+        )
 
     def sweep_stencil(self, b: jax.Array, x: jax.Array) -> jax.Array:
-        if self.use_pallas and x.ndim == 2:
-            from .ops.kernels.sor_pallas import fused_sor_sweep
+        vdim = len(self.op.vshape)
+        if self.use_pallas_batched and x.ndim > vdim:
+            from .ops.kernels.sor_pallas_v2 import sweep_batched_v2
 
-            return fused_sor_sweep(
-                self.op.coeffs, b, x,
-                offsets=self.op.offsets, diag_index=self.op.diag_index,
-                omega=self.omega, order=self.order,
-                color_weights=self.coloring.weights,
-                n_colors=self.coloring.n_colors,
-                interpret=self._pallas_interpret,
-            )
-        # NOTE: a chain-gridded batched kernel exists (fused_sor_sweep_batched)
-        # but measured ~25% slower than XLA's fully-vectorised batched sweeps on
-        # v5e (chains serialise through the grid); batched sweeps stay on XLA.
+            batch = x.shape[:-vdim]
+            xf = x.reshape((-1,) + self.op.vshape)
+            bf = jnp.broadcast_to(b, x.shape).reshape(xf.shape)
+            out = sweep_batched_v2(self.op.coeffs, bf, xf, **self._kernel_params())
+            return out.reshape(batch + self.op.vshape)
         return sor_sweep(self.op, self.masks, self.omega, self.order, b, x)
 
     def _lowrank_correct(self, x: jax.Array) -> jax.Array:

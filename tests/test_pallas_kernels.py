@@ -95,21 +95,29 @@ def test_supports_policy():
 
 
 def test_smoother_pallas_integration_interpret(monkeypatch):
-    """SORSmoother picks up the fused path under MGMC_PALLAS_INTERPRET and the
-    result matches the pure-JAX smoother."""
+    """SORSmoother routes batched sweeps through the fused v2 kernel under
+    MGMC_PALLAS_INTERPRET and the result matches the pure-JAX smoother;
+    single-chain sweeps stay on the XLA path."""
     monkeypatch.setenv("MGMC_PALLAS", "1")
     monkeypatch.setenv("MGMC_PALLAS_INTERPRET", "1")
-    op = make_op(nx=64)  # pallas path requires min(vshape) >= 63
+    op = make_op(nx=64)
     sm_pallas = SORSmoother(op, omega=1.0)
-    assert sm_pallas.use_pallas
+    assert sm_pallas.use_pallas_batched
     monkeypatch.setenv("MGMC_PALLAS", "0")
     sm_ref = SORSmoother(op, omega=1.0)
-    assert not sm_ref.use_pallas
+    assert not sm_ref.use_pallas_batched
     rng = np.random.default_rng(2)
-    b = jnp.asarray(rng.normal(size=op.vshape), dtype=jnp.float32)
-    x = jnp.asarray(rng.normal(size=op.vshape), dtype=jnp.float32)
+    C = 3
+    b = jnp.asarray(rng.normal(size=(C,) + op.vshape), dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + op.vshape), dtype=jnp.float32)
     np.testing.assert_allclose(
         np.asarray(sm_pallas.apply(b, x)), np.asarray(sm_ref.apply(b, x)),
+        rtol=2e-5, atol=2e-5,
+    )
+    # unbatched rhs broadcasting over a 2d chain batch (the MG-solver shape)
+    x2 = jnp.asarray(rng.normal(size=(2, 2) + op.vshape), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(sm_pallas.apply(b[0], x2)), np.asarray(sm_ref.apply(b[0], x2)),
         rtol=2e-5, atol=2e-5,
     )
 
