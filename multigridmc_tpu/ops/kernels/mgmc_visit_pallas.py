@@ -1,0 +1,555 @@
+"""Fused MGMC level-visit kernels: the whole descend / ascend of one level in
+one Pallas call.
+
+Round-2 slope measurements (NOTES_R2.md "LATE-ROUND CORRECTION") showed the
+isolated v2 sweep kernels win big in isolation (det 0.28 vs 1.12 ms at
+256 x 255^2) but *lose in the production cycle* (L0 1.55 vs 1.46 ms): XLA
+fuses the noise / Woodbury / residual passes around its own sweep, and an
+isolated kernel forfeits that fusion at its boundaries.  The fix is to move
+the boundaries inside the kernel.  One **descend visit** of level l
+(cf. ``src/sampler/multigridmc_sampler.cc:103-130``) is
+
+    c   = f + sqrt(D (2-omega)/omega) xi + B Sigma^{-1/2} xi'   (Gibbs noise)
+    x  <- colour-ordered SOR sweep(c, x)                        (forward)
+    x  <- x - B_bar (B^T x)                                     (Woodbury)
+    r   = f - A x            (A = stencil + B Sigma^{-1} B^T)
+    f_c = R r                (full-weighting restriction)
+
+and one **ascend visit** is
+
+    x  <- x + gamma * P x_c                                     (prolongate_add)
+    c   = f + noise                                             (as above)
+    x  <- colour-ordered SOR sweep(c, x)                        (backward)
+    x  <- x - B_bar_bwd (B^T x)
+
+Each fused visit is a single HBM round trip: read f and x (and x_c), write x
+(aliased in place) and f_c; the stencil coefficients, measurement fields B,
+Woodbury factors B_bar and the banded intergrid matrices stay VMEM-resident
+across chain blocks.  The field noise comes from the on-chip PRNG (Box-Muller
+drawing the sin/cos *pair*, halving the transcendental count vs the v2
+kernels); the m low-rank noise scalars per chain are drawn outside with the
+production key stream and passed in (independent streams, like the
+v2 batched path).
+
+Restriction/prolongation use the same banded tensor-product matrices as
+:mod:`multigridmc_tpu.ops.intergrid` (MXU matmuls at HIGHEST precision), so
+the fused path computes the identical linear algebra to the composed XLA path
+- verified elementwise by tests/test_mgmc_visit.py with noise disabled.
+
+2d only (the 3d bench path stays on XLA; see supports_visit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sor_pallas import seed_words
+from .sor_pallas_v2 import _shifted, _sweep_body
+
+_TWO_PI = 6.283185307179586
+_HI = jax.lax.Precision.HIGHEST
+
+#: The chip has ~128 MB VMEM but Mosaic's default scoped limit is 16 MB
+#: (probed on v5e: 2x56 MB blocks compile with vmem_limit_bytes raised);
+#: the visit kernels raise the limit and budget conservatively.
+_VMEM_LIMIT = 96 * 1024 * 1024
+_VMEM_BUDGET = 64 * 1024 * 1024
+#: measured Mosaic stack usage per chain in the visit kernels: ~14 padded
+#: planes of temporaries (noise, sweep phases, residual) on top of the
+#: in/out blocks - budget 16 planes per chain
+_PLANES_PER_CHAIN = 16
+
+
+def _unit_from_bits(bits):
+    hi = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8))
+    return pltpu.bitcast(hi, jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0)
+
+
+def _normals(shape):
+    """N(0,1) field from the on-chip PRNG via Box-Muller.
+
+    When the leading (chain) axis is even the sin/cos *pair* of each draw is
+    used, halving the log/sqrt/trig count vs the v2 kernels' cos-only form.
+    """
+    if shape[0] % 2 == 0 and shape[0] > 1:
+        half = (shape[0] // 2,) + shape[1:]
+        u1 = _unit_from_bits(pltpu.prng_random_bits(half)) + (1.0 / 16777216.0)
+        u2 = _unit_from_bits(pltpu.prng_random_bits(half))
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        a = _TWO_PI * u2
+        return jnp.concatenate([r * jnp.cos(a), r * jnp.sin(a)], axis=0)
+    u1 = _unit_from_bits(pltpu.prng_random_bits(shape)) + (1.0 / 16777216.0)
+    u2 = _unit_from_bits(pltpu.prng_random_bits(shape))
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+
+def _mm(a, b):
+    """f32-exact MXU matmul (same precision as ops.intergrid contractions).
+
+    Contracts the last axis of ``a`` with the first of ``b``; for rank-3 ``a``
+    this is one batched lane-dim contraction (free dims stay in lhs order), so
+    the whole chain block rides a single MXU dispatch."""
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        precision=_HI, preferred_element_type=jnp.float32,
+    )
+
+
+def _apply_stencil(coeffs, x, offsets, iotas, vshape):
+    ax = None
+    for k, off in enumerate(offsets):
+        t = coeffs[k] * _shifted(x, off, iotas, vshape)
+        ax = t if ax is None else ax + t
+    return ax
+
+
+def _noisy_rhs(f, x, ns_ref, xi_lr_ref, B_ref, m, dim):
+    """c = f + sqrt(D(2-omega)/omega) xi + sum_k xi'_k B_k (xi' pre-scaled by
+    Sigma^{-1/2} outside), cf. ``sor_sampler.cc:39-56``."""
+    xi = _normals(x.shape)
+    c = f + ns_ref[:] * xi
+    if m:
+        xi_lr = xi_lr_ref[:]  # (bc, 1, ..., 1, m)
+        for k in range(m):
+            c = c + xi_lr[..., k:k + 1] * B_ref[k][None]
+    return c
+
+
+def _reduce_spatial(t, dim):
+    """Sum a (bc, *v) value over its trailing dim axes -> (bc, 1, ..., 1).
+
+    One axis at a time: Mosaic crashes on multi-axis keepdims reductions
+    (layout.h rank check), sequential single-axis reductions compile fine.
+    """
+    for ax in range(t.ndim - 1, t.ndim - 1 - dim, -1):
+        t = jnp.sum(t, axis=ax, keepdims=True)
+    return t
+
+
+def _woodbury(x, B_ref, Bbar_ref, m, dim):
+    """x - B_bar (B^T x), cf. ``sor_smoother.cc:47-51``."""
+    btx = [_reduce_spatial(x * B_ref[k][None], dim) for k in range(m)]
+    for l in range(m):
+        x = x - btx[l] * Bbar_ref[l][None]
+    return x
+
+
+def _make_descend_kernel(*, params, n_seed_words, noise, m, bc):
+    dim = len(params["offsets"][0])
+
+    def kernel(*refs):
+        it = iter(refs)
+        seed_ref = next(it) if noise else None
+        xi_lr_ref = next(it) if (noise and m) else None
+        coeffs_ref = next(it)
+        ns_ref = next(it) if noise else None
+        B_ref = next(it) if m else None
+        Bbar_ref = next(it) if m else None
+        sinv_ref = next(it) if m else None
+        Rh_ref = next(it)
+        RwT_ref = next(it)
+        f_ref = next(it)
+        x_ref = next(it)
+        xout_ref = next(it)
+        fc_ref = next(it)
+
+        if noise:
+            i = pl.program_id(0)
+            pltpu.prng_seed(
+                *(seed_ref[i * n_seed_words + j] for j in range(n_seed_words))
+            )
+        coeffs = coeffs_ref[:]
+        f = f_ref[:]  # (bc, *v) or (1, *v): broadcasts against (bc, *v)
+        x = x_ref[:]
+        vshape = x.shape[-dim:]
+
+        c = _noisy_rhs(f, x, ns_ref, xi_lr_ref, B_ref, m, dim) if noise else f
+        x = _sweep_body(coeffs, c, x, **params)
+        if m:
+            x = _woodbury(x, B_ref, Bbar_ref, m, dim)
+        xout_ref[:] = x
+
+        # residual r = f - A x  (full operator incl. low-rank term)
+        iotas = [jax.lax.broadcasted_iota(jnp.int32, vshape, d) for d in range(dim)]
+        r = f - _apply_stencil(coeffs, x, params["offsets"], iotas, vshape)
+        if m:
+            for k in range(m):
+                btx2 = _reduce_spatial(x * B_ref[k][None], dim)
+                r = r - (btx2 * sinv_ref[0, k]) * B_ref[k][None]
+
+        # restriction f_c = Rh r Rw^T per chain.  Slope-measured: batching
+        # the lane contraction over the block (rank-3 dot_general) is ~0.3 ms
+        # SLOWER here than per-chain rank-2 matmuls (collapsing (bc, H) with
+        # H=255 unaligned forces a relayout of the full-size r), while in the
+        # ascend kernel the same batching on the quarter-size x_c wins.
+        Rh = Rh_ref[:]
+        RwT = RwT_ref[:]
+        for b in range(bc):
+            fc_ref[b] = _mm(Rh, _mm(r[b], RwT))
+
+    return kernel
+
+
+def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling):
+    dim = len(params["offsets"][0])
+
+    def kernel(*refs):
+        it = iter(refs)
+        seed_ref = next(it) if noise else None
+        xi_lr_ref = next(it) if (noise and m) else None
+        coeffs_ref = next(it)
+        ns_ref = next(it) if noise else None
+        B_ref = next(it) if m else None
+        Bbar_ref = next(it) if m else None
+        RhT_ref = next(it)
+        Rw_ref = next(it)
+        f_ref = next(it)
+        x_ref = next(it)
+        xc_ref = next(it)
+        xout_ref = next(it)
+
+        if noise:
+            i = pl.program_id(0)
+            pltpu.prng_seed(
+                *(seed_ref[i * n_seed_words + j] for j in range(n_seed_words))
+            )
+        coeffs = coeffs_ref[:]
+        f = f_ref[:]
+        x = x_ref[:]
+        dim_ = dim
+
+        # x += gamma * P x_c: lane contraction batched, sublane per chain
+        u = _mm(xc_ref[:], Rw_ref[:])  # (bc, Hc, W)
+        RhT = RhT_ref[:]
+        px = jnp.stack([_mm(RhT, u[b]) for b in range(bc)], axis=0)
+        x = x + coarse_scaling * px
+
+        c = _noisy_rhs(f, x, ns_ref, xi_lr_ref, B_ref, m, dim_) if noise else f
+        x = _sweep_body(coeffs, c, x, **params)
+        if m:
+            x = _woodbury(x, B_ref, Bbar_ref, m, dim_)
+        xout_ref[:] = x
+
+    return kernel
+
+
+def _pick_bc(C, resident_bytes, per_chain_bytes, budget=_VMEM_BUDGET):
+    for bc in (64, 32, 16, 8, 4, 2, 1):
+        if C % bc == 0 and resident_bytes + bc * per_chain_bytes <= budget:
+            return bc
+    return None
+
+
+def _block_seeds(key, nblocks):
+    seeds = jax.vmap(seed_words)(jax.random.split(key, nblocks))
+    return seeds.reshape(-1), seeds.shape[1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "diag_index", "omega", "order", "color_weights",
+                     "n_colors", "noise", "interpret"),
+)
+def descend_visit(
+    key, coeffs, noise_scale, B, Bbar, sinv, Rh, RwT, f, x, *,
+    offsets, diag_index, omega, order, color_weights, n_colors,
+    noise=True, interpret=False,
+):
+    """One fused descend visit.  Returns ``(x_new, f_coarse)``.
+
+    ``f`` has shape ``(*v)`` (shared across chains) or ``(C, *v)``; ``x`` is
+    ``(C, *v)``.  ``noise_scale`` is the field ``sqrt(D (2-omega)/omega)``;
+    ``B``/``Bbar``/``sinv`` are ``None`` for operators without a low-rank term
+    (``sinv`` = ``Sigma^{-1/2}-scaled`` is split: pass ``(lr_scale, sigma_inv)``
+    - see FusedVisitLevel).  With ``noise=False`` the kernel runs the purely
+    deterministic data path (used by CPU interpret-mode exactness tests).
+    """
+    dim = len(offsets[0])
+    C, vshape = x.shape[0], x.shape[1:]
+    m = 0 if B is None else B.shape[0]
+    nk = coeffs.shape[0]
+    plane = 4 * vshape[0] * vshape[1]
+    vc = (Rh.shape[0], RwT.shape[1])
+    fc_plane = 4 * vc[0] * vc[1]
+    f_batched = f.ndim == x.ndim
+    resident = (nk + (1 if noise else 0) + 2 * m + (0 if f_batched else 1)) * plane \
+        + 4 * (Rh.size + RwT.size)
+    per_chain = (_PLANES_PER_CHAIN + (1 if f_batched else 0)) * plane + fc_plane
+    bc = _pick_bc(C, resident, per_chain)
+    if bc is None:
+        raise ValueError(f"visit kernel does not fit VMEM for C={C}, v={vshape}")
+    nblocks = C // bc
+    zeros = (0,) * dim
+
+    params = dict(offsets=offsets, diag_index=diag_index, omega=omega,
+                  order=order, color_weights=color_weights, n_colors=n_colors)
+
+    args = []
+    in_specs = []
+    nw = 0
+    if noise:
+        kfield, klr = jax.random.split(key)
+        seeds, nw = _block_seeds(kfield, nblocks)
+        args.append(seeds)
+        in_specs.append(
+            pl.BlockSpec((nblocks * nw,), lambda i: (0,), memory_space=pltpu.SMEM)
+        )
+        if m:
+            lr_scale, sinv = sinv
+            # shaped (C, 1, .., 1, m) so the block's trailing dims equal the
+            # array dims (Mosaic tiling rule); sliced (bc,1,..,1) in-kernel
+            xi_lr = (jax.random.normal(klr, (C, m), x.dtype) * lr_scale
+                     ).reshape((C,) + (1,) * (dim - 1) + (m,))
+            args.append(xi_lr)
+            in_specs.append(
+                pl.BlockSpec((bc,) + (1,) * (dim - 1) + (m,),
+                             lambda i: (i,) + (0,) * dim,
+                             memory_space=pltpu.VMEM)
+            )
+        else:
+            sinv = None
+    elif m:
+        _, sinv = sinv
+    kern = _make_descend_kernel(
+        params=params, n_seed_words=nw, noise=noise, m=m, bc=bc,
+    )
+
+    def resident_spec(lead):
+        return pl.BlockSpec((lead,) + vshape, lambda i: (0,) + zeros,
+                            memory_space=pltpu.VMEM)
+
+    args.append(coeffs)
+    in_specs.append(resident_spec(nk))
+    if noise:
+        args.append(noise_scale.reshape((1,) + vshape))
+        in_specs.append(resident_spec(1))
+    if m:
+        args.extend([B, Bbar, sinv.reshape(1, m)])
+        in_specs.extend([
+            resident_spec(m), resident_spec(m),
+            # scalars want a 2d SMEM layout (Mosaic rejects rank-1 f32 SMEM)
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ])
+    args.extend([Rh, RwT])
+    in_specs.extend([
+        pl.BlockSpec(Rh.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(RwT.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ])
+    if f_batched:
+        args.append(f)
+        in_specs.append(
+            pl.BlockSpec((bc,) + vshape, lambda i: (i,) + zeros,
+                         memory_space=pltpu.VMEM)
+        )
+    else:
+        args.append(f.reshape((1,) + vshape))
+        in_specs.append(resident_spec(1))
+    x_index = len(args)
+    args.append(x)
+    in_specs.append(
+        pl.BlockSpec((bc,) + vshape, lambda i: (i,) + zeros,
+                     memory_space=pltpu.VMEM)
+    )
+
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((C,) + vc, x.dtype),
+        ),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((bc,) + vshape, lambda i: (i,) + zeros,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc,) + vc, lambda i: (i,) + zeros,
+                         memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={x_index: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "diag_index", "omega", "order", "color_weights",
+                     "n_colors", "coarse_scaling", "noise", "interpret"),
+)
+def ascend_visit(
+    key, coeffs, noise_scale, B, Bbar, lr_scale, RhT, Rw, f, x, x_coarse, *,
+    offsets, diag_index, omega, order, color_weights, n_colors,
+    coarse_scaling=1.0, noise=True, interpret=False,
+):
+    """One fused ascend visit: ``x += gamma P x_c`` then one backward Gibbs
+    sweep (+ Woodbury).  Returns the new x."""
+    dim = len(offsets[0])
+    C, vshape = x.shape[0], x.shape[1:]
+    m = 0 if B is None else B.shape[0]
+    nk = coeffs.shape[0]
+    plane = 4 * vshape[0] * vshape[1]
+    vc = x_coarse.shape[1:]
+    fc_plane = 4 * vc[0] * vc[1]
+    f_batched = f.ndim == x.ndim
+    resident = (nk + (1 if noise else 0) + 2 * m + (0 if f_batched else 1)) * plane \
+        + 4 * (RhT.size + Rw.size)
+    per_chain = (_PLANES_PER_CHAIN + (1 if f_batched else 0)) * plane + fc_plane
+    bc = _pick_bc(C, resident, per_chain)
+    if bc is None:
+        raise ValueError(f"visit kernel does not fit VMEM for C={C}, v={vshape}")
+    nblocks = C // bc
+    zeros = (0,) * dim
+
+    params = dict(offsets=offsets, diag_index=diag_index, omega=omega,
+                  order=order, color_weights=color_weights, n_colors=n_colors)
+
+    args = []
+    in_specs = []
+    nw = 0
+    if noise:
+        kfield, klr = jax.random.split(key)
+        seeds, nw = _block_seeds(kfield, nblocks)
+        args.append(seeds)
+        in_specs.append(
+            pl.BlockSpec((nblocks * nw,), lambda i: (0,), memory_space=pltpu.SMEM)
+        )
+        if m:
+            xi_lr = (jax.random.normal(klr, (C, m), x.dtype) * lr_scale
+                     ).reshape((C,) + (1,) * (dim - 1) + (m,))
+            args.append(xi_lr)
+            in_specs.append(
+                pl.BlockSpec((bc,) + (1,) * (dim - 1) + (m,),
+                             lambda i: (i,) + (0,) * dim,
+                             memory_space=pltpu.VMEM)
+            )
+    kern = _make_ascend_kernel(
+        params=params, n_seed_words=nw, noise=noise, m=m, bc=bc,
+        coarse_scaling=float(coarse_scaling),
+    )
+
+    def resident_spec(lead):
+        return pl.BlockSpec((lead,) + vshape, lambda i: (0,) + zeros,
+                            memory_space=pltpu.VMEM)
+
+    args.append(coeffs)
+    in_specs.append(resident_spec(nk))
+    if noise:
+        args.append(noise_scale.reshape((1,) + vshape))
+        in_specs.append(resident_spec(1))
+    if m:
+        args.extend([B, Bbar])
+        in_specs.extend([resident_spec(m), resident_spec(m)])
+    args.extend([RhT, Rw])
+    in_specs.extend([
+        pl.BlockSpec(RhT.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(Rw.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ])
+    if f_batched:
+        args.append(f)
+        in_specs.append(
+            pl.BlockSpec((bc,) + vshape, lambda i: (i,) + zeros,
+                         memory_space=pltpu.VMEM)
+        )
+    else:
+        args.append(f.reshape((1,) + vshape))
+        in_specs.append(resident_spec(1))
+    x_index = len(args)
+    args.append(x)
+    in_specs.append(
+        pl.BlockSpec((bc,) + vshape, lambda i: (i,) + zeros,
+                     memory_space=pltpu.VMEM)
+    )
+    args.append(x_coarse)
+    in_specs.append(
+        pl.BlockSpec((bc,) + vc, lambda i: (i,) + zeros, memory_space=pltpu.VMEM)
+    )
+
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bc,) + vshape, lambda i: (i,) + zeros,
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={x_index: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*args)
+
+
+def supports_visit(vshape, dtype, n_offsets, m, nchains) -> Optional[int]:
+    """Whether the fused visit kernels handle this level; returns the chain
+    block size bc, or None.  2d float32 only; the level's resident fields and
+    one double-buffered chain block must fit VMEM."""
+    if len(vshape) != 2 or jnp.dtype(dtype) != jnp.float32:
+        return None
+    plane = 4 * vshape[0] * vshape[1]
+    resident = (n_offsets + 2 + 2 * m) * plane + 8 * plane  # R mats upper bound
+    per_chain = _PLANES_PER_CHAIN * plane + plane // 2
+    return _pick_bc(nchains, resident, per_chain)
+
+
+class FusedVisitLevel:
+    """Per-level bundle of precomputed arrays + static config for the fused
+    visit kernels.  Built by MultigridMCSampler when fused visits are enabled;
+    holds no jax tracers (all arrays are constants closed over by the jitted
+    wrappers)."""
+
+    def __init__(self, op, coloring, omega, order_fwd, order_bwd,
+                 Bbar_fwd, Bbar_bwd, coarse_scaling, interpret=False):
+        from ..intergrid import _restrict_matrix_1d
+
+        self.op = op
+        self.omega = float(omega)
+        self.interpret = bool(interpret)
+        self.coarse_scaling = float(coarse_scaling)
+        H, W = op.vshape
+        name = jnp.dtype(op.coeffs.dtype).name
+        Rh = _restrict_matrix_1d(H, name)
+        Rw = _restrict_matrix_1d(W, name)
+        self.Rh = jnp.asarray(Rh)
+        self.RwT = jnp.asarray(Rw.T)
+        self.RhT = jnp.asarray(Rh.T)
+        self.Rw = jnp.asarray(Rw)
+        self.noise_scale = jnp.sqrt(
+            op.diag_stencil() * ((2.0 - self.omega) / self.omega)
+        )
+        if op.lowrank is not None:
+            self.B = op.lowrank.B
+            self.Bbar_fwd = Bbar_fwd
+            self.Bbar_bwd = Bbar_bwd
+            self.lr_scale = 1.0 / jnp.sqrt(op.lowrank.Sigma_diag)
+            self.sigma_inv = 1.0 / op.lowrank.Sigma_diag
+        else:
+            self.B = self.Bbar_fwd = self.Bbar_bwd = None
+            self.lr_scale = self.sigma_inv = None
+        self._statics = dict(
+            offsets=op.offsets, diag_index=op.diag_index, omega=self.omega,
+            color_weights=coloring.weights, n_colors=coloring.n_colors,
+            interpret=self.interpret,
+        )
+        self.order_fwd = order_fwd
+        self.order_bwd = order_bwd
+
+    def descend(self, key, f, x, noise=True):
+        sinv = None if self.B is None else (self.lr_scale, self.sigma_inv)
+        return descend_visit(
+            key, self.op.coeffs, self.noise_scale, self.B, self.Bbar_fwd,
+            sinv, self.Rh, self.RwT, f, x,
+            order=self.order_fwd, noise=noise, **self._statics,
+        )
+
+    def ascend(self, key, f, x, x_coarse, noise=True):
+        return ascend_visit(
+            key, self.op.coeffs, self.noise_scale, self.B, self.Bbar_bwd,
+            self.lr_scale, self.RhT, self.Rw, f, x, x_coarse,
+            order=self.order_bwd, coarse_scaling=self.coarse_scaling,
+            noise=noise, **self._statics,
+        )

@@ -30,6 +30,7 @@ one chip - this is where the TPU throughput comes from.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -42,6 +43,12 @@ from ..solvers.multigrid import MultigridHierarchy
 from .base import Sampler
 from .cholesky import DenseCholeskySampler
 from .sor import SORSampler, SSORSampler
+
+#: smallest grid extent for which a fused level-visit Pallas kernel beats the
+#: composed XLA visit.  Slope-measured on v5e at 256 chains (NOTES_R2.md):
+#: 255^2 fused wins 1.5x, 127^2 and below lose 2-5x (per-block overhead plus
+#: XLA's batched intergrid matmuls outpace the in-kernel per-chain ones).
+MIN_FUSED_EXTENT = int(os.environ.get("MGMC_FUSED_MIN_EXTENT", "128"))
 
 
 class MultigridMCSampler(Sampler):
@@ -102,25 +109,86 @@ class MultigridMCSampler(Sampler):
             for level, level_op in enumerate(self.hierarchy.operators):
                 print(f"  level {level} lattice : {level_op.lattice.get_info()}")
 
+        self._build_fused_levels(smoother, npresmooth, npostsmooth)
+
+    # ------------------------------------------------- fused level visits
+    def _build_fused_levels(self, smoother: str, npresmooth: int, npostsmooth: int):
+        """Fused Pallas level-visit kernels (descend = noise+sweep+Woodbury+
+        residual+restrict, ascend = prolongate+noise+sweep+Woodbury in one HBM
+        round trip each) for batched chains on large-enough 2d levels.
+
+        Enabled by default on a single TPU device (MGMC_FUSED=0 disables,
+        MGMC_FUSED=1 forces even when heuristics say no); the composed XLA path
+        remains the reference implementation and handles every other case
+        (CPU, single chain, sharded/multi-device, 3d, SSOR, nsmooth>1).
+        """
+        self.fused_levels = {}
+        flag = os.environ.get("MGMC_FUSED", "auto")
+        if flag == "0":
+            return
+        if smoother != "SOR" or npresmooth != 1 or npostsmooth != 1:
+            return
+        if flag != "1":
+            try:
+                if jax.default_backend() == "cpu" or len(jax.devices()) != 1:
+                    return
+            except RuntimeError:
+                return
+        from ..ops.kernels.mgmc_visit_pallas import FusedVisitLevel, supports_visit
+
+        interpret = flag == "1" and jax.default_backend() == "cpu"
+        for level in range(self.nlevel - 1):
+            op = self.hierarchy.operators[level]
+            if min(op.vshape) < MIN_FUSED_EXTENT:
+                continue
+            if supports_visit(op.vshape, op.coeffs.dtype, len(op.offsets),
+                              op.m_lowrank, 16) is None:
+                continue
+            pre, post = self.presamplers[level], self.postsamplers[level]
+            self.fused_levels[level] = FusedVisitLevel(
+                op, pre.smoother.coloring, pre.omega,
+                pre.smoother.order, post.smoother.order,
+                pre.smoother.B_bar, post.smoother.B_bar,
+                self.coarse_scaling, interpret=interpret,
+            )
+
     def _sample(self, level: int, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
         """Recursive stochastic cycle (``multigridmc_sampler.cc:103-130``),
         unrolled at trace time."""
         if level == self.nlevel - 1:
             return self.coarse_sampler.apply(key, f, x)
         op = self.hierarchy.operators[level]
+        vdim = len(op.vshape)
+        fused = self.fused_levels.get(level) if x.ndim == vdim + 1 else None
         ncycle = self.cycle if level > 0 else 1
         for j in range(ncycle):
             kpre, kcoarse, kpost = jax.random.split(jax.random.fold_in(key, j), 3)
-            x = self.presamplers[level].apply(kpre, f, x)
-            r = f - op.apply(x)
-            f_coarse = restrict(r, dim=op.lattice.dim)
+            if fused is not None:
+                x, f_coarse = fused.descend(kpre, f, x)
+            else:
+                x = self.presamplers[level].apply(kpre, f, x)
+                r = f - op.apply(x)
+                f_coarse = restrict(r, dim=op.lattice.dim)
             x_coarse = jnp.zeros_like(f_coarse)
             x_coarse = self._sample(level + 1, kcoarse, f_coarse, x_coarse)
-            x = prolongate_add(self.coarse_scaling, x_coarse, x, dim=op.lattice.dim)
-            x = self.postsamplers[level].apply(kpost, f, x)
+            if fused is not None:
+                x = fused.ascend(kpost, f, x, x_coarse)
+            else:
+                x = prolongate_add(self.coarse_scaling, x_coarse, x, dim=op.lattice.dim)
+                x = self.postsamplers[level].apply(kpost, f, x)
         return x
 
     def apply(self, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
         """One MGMC step: chain state x is carried, not zeroed
         (``multigridmc_sampler.cc:133-139``)."""
+        vdim = len(self.op.vshape)
+        if self.fused_levels and x.ndim > vdim + 1:
+            # fused kernels take one flat chain axis; reshape around the cycle
+            batch = x.shape[: x.ndim - vdim]
+            xf = x.reshape((-1,) + self.op.vshape)
+            ff = f
+            if f.ndim > vdim:
+                ff = jnp.broadcast_to(f, x.shape).reshape(xf.shape)
+            out = self._sample(0, key, ff, xf)
+            return out.reshape(batch + self.op.vshape)
         return self._sample(0, key, f, x)

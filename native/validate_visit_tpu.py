@@ -1,0 +1,195 @@
+"""On-TPU validation of the fused MGMC level-visit kernels.
+
+Three gates (run on real hardware; CPU interpret mode cannot execute the
+on-chip PRNG):
+
+1. exactness: compiled deterministic (noise=False) descend/ascend visits match
+   the composed XLA path at production-like shapes;
+2. noise moments: the in-kernel Box-Muller sin/cos-pair normals have correct
+   mean/var/skew/kurtosis and no pair correlation;
+3. statistics: full fused MGMC sampling on a small posterior reproduces the
+   dense-oracle mean and covariance (same gate as tests/test_sampler.py).
+
+Usage: python native/validate_visit_tpu.py
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from multigridmc_tpu.utils.runtime import configure_runtime, sampling_key
+
+configure_runtime(default_x64=False)
+
+import jax
+import jax.numpy as jnp
+
+from multigridmc_tpu.lattice import Lattice
+from multigridmc_tpu.models.correlation import ConstantCorrelationLengthModel
+from multigridmc_tpu.models.posterior import MeasurementParameters, measured_operator
+from multigridmc_tpu.models.prior import shiftedlaplace_fd
+from multigridmc_tpu.ops.coloring import coloring_for
+from multigridmc_tpu.ops.intergrid import prolongate_add, restrict
+from multigridmc_tpu.ops.kernels.mgmc_visit_pallas import FusedVisitLevel
+from multigridmc_tpu.samplers.mgmc import MultigridMCSampler
+from multigridmc_tpu.smoothers import BACKWARD, FORWARD, SORSmoother
+
+assert jax.default_backend() != "cpu", "run on TPU"
+ok = True
+
+
+def check(name, cond, detail=""):
+    global ok
+    print(f"{'PASS' if cond else 'FAIL'}  {name}  {detail}", flush=True)
+    ok = ok and bool(cond)
+
+
+def build(nx, lowrank, nmeas=8, var=1.0):
+    lattice = Lattice((nx, nx))
+    op = shiftedlaplace_fd(lattice, ConstantCorrelationLengthModel(0.2),
+                           dtype=jnp.float32)
+    if lowrank:
+        rng = np.random.default_rng(5)
+        params = MeasurementParameters(
+            measurement_locations=rng.uniform(0.1, 0.9, size=(nmeas, 2)),
+            mean=rng.normal(size=nmeas),
+            variance=var * (1.0 + rng.uniform(size=nmeas)),
+        )
+        op = measured_operator(op, params)
+    return op
+
+
+def fused_for(op, omega=1.0, coarse_scaling=1.0):
+    coloring = coloring_for(op.offsets, op.vshape)
+    pre = SORSmoother(op, omega, 1, FORWARD, coloring)
+    post = SORSmoother(op, omega, 1, BACKWARD, coloring)
+    return pre, post, FusedVisitLevel(
+        op, coloring, omega, pre.order, post.order, pre.B_bar, post.B_bar,
+        coarse_scaling)
+
+
+# ---------------------------------------------------------------- 1. exactness
+for lowrank in (False, True):
+    op = build(256, lowrank)
+    pre, post, fused = fused_for(op, coarse_scaling=0.75)
+    rng = np.random.default_rng(1)
+    C = 8
+    f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + op.vshape), jnp.float32)
+    out_x, out_fc = jax.jit(lambda f, x: fused.descend(
+        jax.random.key(0), f, x, noise=False))(f, x)
+    exp_x = jax.jit(pre.apply)(f, x)
+    exp_fc = restrict(f - op.apply(exp_x), dim=2)
+    ex = float(jnp.max(jnp.abs(out_x - exp_x)))
+    ef = float(jnp.max(jnp.abs(out_fc - exp_fc)))
+    check(f"descend exactness lowrank={lowrank}", ex < 2e-4 and ef < 2e-4,
+          f"max|dx|={ex:.2e} max|dfc|={ef:.2e}")
+
+    vc = tuple(m // 2 for m in op.vshape)
+    xc = jnp.asarray(rng.normal(size=(C,) + vc), jnp.float32)
+    out_a = jax.jit(lambda f, x, xc: fused.ascend(
+        jax.random.key(0), f, x, xc, noise=False))(f, x, xc)
+    exp_a = jax.jit(post.apply)(f, prolongate_add(0.75, xc, x, dim=2))
+    ea = float(jnp.max(jnp.abs(out_a - exp_a)))
+    check(f"ascend exactness lowrank={lowrank}", ea < 2e-4, f"max|dx|={ea:.2e}")
+
+# ------------------------------------------------------------ 2. noise moments
+op = build(256, False)
+pre, post, fused = fused_for(op)
+C = 16
+f0 = jnp.zeros(op.vshape, jnp.float32)
+x0 = jnp.zeros((C,) + op.vshape, jnp.float32)
+
+samples = []
+for i in range(64):
+    out_x, _ = fused.descend(sampling_key(100 + i), f0, x0)  # x reset each call
+    # after one forward red-black Gibbs sweep from x=0, f=0:
+    #   red sites:   x_r = omega * c_r / d  (c = noise)
+    #   black sites: x_b = omega * (c_b - A_offdiag x_r) / d
+    # red-site values are therefore iid N(0, omega^2 (2-omega)/omega / d) -
+    # use them for moment checks
+    samples.append(np.asarray(out_x))
+s = np.stack(samples)  # (64, C, H, W)
+H, W = op.vshape
+ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+red = ((ii + jj) % 2 == 0)
+d = np.asarray(op.diag_stencil())
+std_exp = np.sqrt((2.0 - 1.0) / 1.0 / d)  # omega=1
+z = s[:, :, red] / std_exp[None, None, red]
+n = z.size
+mean, var = z.mean(), z.var()
+skew = (z**3).mean()
+kurt = (z**4).mean()
+se = 1.0 / np.sqrt(n)
+check("noise mean", abs(mean) < 6 * se, f"{mean:+.2e} (n={n})")
+check("noise var", abs(var - 1) < 6 * np.sqrt(2) * se, f"{var:.5f}")
+check("noise skew", abs(skew) < 6 * np.sqrt(15) * se, f"{skew:+.2e}")
+check("noise kurtosis", abs(kurt - 3) < 6 * np.sqrt(96) * se, f"{kurt:.4f}")
+# sin/cos pair halves: chain c and c + C/2 within a block share (u1, u2);
+# their red-site values must still be uncorrelated
+zc = z.reshape(64, C, -1)
+bc = 8  # block size picked for this shape; pairs are (i, i + bc//2) per block
+corrs = []
+for b0 in range(0, C, bc):
+    for i in range(bc // 2):
+        a, bv = zc[:, b0 + i].ravel(), zc[:, b0 + i + bc // 2].ravel()
+        corrs.append(np.corrcoef(a, bv)[0, 1])
+cmax = float(np.max(np.abs(corrs)))
+check("sin/cos pair decorrelation", cmax < 6 / np.sqrt(zc.shape[0] * zc.shape[2]),
+      f"max|corr|={cmax:.2e}")
+
+# -------------------------------------------------------------- 3. statistics
+op = build(16, True, nmeas=4, var=1e-2)
+n = op.lattice.nvertex
+rng = np.random.default_rng(0)
+mean_exact = rng.uniform(size=n)
+Q = np.asarray(op.to_dense(), dtype=np.float64)
+f = jnp.asarray((Q @ mean_exact).reshape(op.vshape), jnp.float32)
+cov_exact = np.linalg.inv(Q)
+
+import os
+
+import multigridmc_tpu.samplers.mgmc as mgmc_mod
+
+os.environ["MGMC_FUSED"] = "1"
+mgmc_mod.MIN_FUSED_EXTENT = 15
+sampler = mgmc_mod.MultigridMCSampler(
+    op, nlevel=2, smoother="SOR", coarse_solver="Cholesky", omega=1.0, cycle=1)
+assert sampler.fused_levels, "fused levels not built"
+
+C, nsteps, nwarm = 512, 1500, 100
+
+
+def run(x, key, nsteps):
+    def step(x, k):
+        return sampler.apply(jax.random.fold_in(key, k), f, x), 0.0
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(nsteps))
+    return x
+
+
+runj = jax.jit(run, static_argnums=2)
+x = jnp.zeros((C,) + op.vshape, jnp.float32)
+x = runj(x, sampling_key(1), nwarm)
+sx = np.zeros(n)
+sxx = np.zeros((n, n))
+stepj = jax.jit(lambda x, k: sampler.apply(k, f, x))
+key = sampling_key(2)
+for i in range(nsteps):
+    x = stepj(x, jax.random.fold_in(key, i))
+    xf = np.asarray(x, dtype=np.float64).reshape(C, n)
+    sx += xf.sum(axis=0)
+    sxx += xf.T @ xf
+total = C * nsteps
+Ex = sx / total
+cov = sxx / total - np.outer(Ex, Ex)
+em = np.max(np.abs(Ex - mean_exact))
+ec = np.max(np.abs(cov - cov_exact))
+check("fused MGMC mean", em < 2.5e-3, f"maxerr={em:.2e} ({total} samples)")
+check("fused MGMC cov", ec < 2.5e-3, f"maxerr={ec:.2e}")
+
+print("ALL PASS" if ok else "FAILURES", flush=True)
+sys.exit(0 if ok else 1)

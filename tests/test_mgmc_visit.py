@@ -1,0 +1,107 @@
+"""Fused MGMC level-visit kernels: exactness of the deterministic data path.
+
+With noise disabled one fused descend visit must equal the composed XLA path
+
+    sweep(f, x) -> Woodbury -> r = f - A x -> restrict
+
+elementwise (same stencil algebra, same HIGHEST-precision intergrid matmuls),
+and one fused ascend visit must equal prolongate_add -> sweep -> Woodbury.
+Run in Pallas interpreter mode on CPU; the stochastic path (on-chip PRNG) is
+validated on TPU by native/validate_visit_tpu.py plus the bench-scale
+statistical gate.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multigridmc_tpu.lattice import Lattice
+from multigridmc_tpu.models.correlation import ConstantCorrelationLengthModel
+from multigridmc_tpu.models.posterior import MeasurementParameters, measured_operator
+from multigridmc_tpu.models.prior import shiftedlaplace_fd
+from multigridmc_tpu.ops.coloring import coloring_for
+from multigridmc_tpu.ops.intergrid import prolongate_add, restrict
+from multigridmc_tpu.ops.kernels.mgmc_visit_pallas import FusedVisitLevel
+from multigridmc_tpu.smoothers import BACKWARD, FORWARD, SORSmoother, color_order
+
+
+def _setup(nx=24, lowrank=True, omega=1.0):
+    lattice = Lattice((nx, nx))
+    op = shiftedlaplace_fd(lattice, ConstantCorrelationLengthModel(0.3),
+                           dtype=jnp.float32)
+    if lowrank:
+        rng = np.random.default_rng(5)
+        params = MeasurementParameters(
+            measurement_locations=rng.uniform(0.1, 0.9, size=(4, 2)),
+            mean=rng.normal(size=4),
+            # O(1) variances: the exactness comparison needs both paths
+            # well-conditioned (production 1e-6 variances are validated
+            # statistically on TPU, where both paths share the same f32
+            # cancellation - see module docstring)
+            variance=0.5 + rng.uniform(size=4),
+        )
+        op = measured_operator(op, params)
+    coloring = coloring_for(op.offsets, op.vshape)
+    pre = SORSmoother(op, omega, 1, FORWARD, coloring)
+    post = SORSmoother(op, omega, 1, BACKWARD, coloring)
+    fused = FusedVisitLevel(
+        op, coloring, omega, pre.order, post.order, pre.B_bar, post.B_bar,
+        coarse_scaling=0.75, interpret=True,
+    )
+    return op, pre, post, fused
+
+
+@pytest.mark.parametrize("lowrank", [False, True], ids=["prior", "posterior"])
+@pytest.mark.parametrize("f_batched", [False, True], ids=["fshared", "fbatched"])
+def test_descend_visit_matches_composed(lowrank, f_batched):
+    op, pre, _, fused = _setup(lowrank=lowrank)
+    rng = np.random.default_rng(1)
+    C = 4
+    f = jnp.asarray(
+        rng.normal(size=((C,) if f_batched else ()) + op.vshape), jnp.float32
+    )
+    x = jnp.asarray(rng.normal(size=(C,) + op.vshape), jnp.float32)
+
+    out_x, out_fc = fused.descend(jax.random.key(0), f, x, noise=False)
+
+    exp_x = pre.apply(f, x)
+    r = f - op.apply(exp_x)
+    exp_fc = restrict(r, dim=2)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(exp_x),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_fc), np.asarray(exp_fc),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("lowrank", [False, True], ids=["prior", "posterior"])
+def test_ascend_visit_matches_composed(lowrank):
+    op, _, post, fused = _setup(lowrank=lowrank, omega=0.9)
+    rng = np.random.default_rng(2)
+    C = 4
+    vc = tuple(m // 2 for m in op.vshape)
+    f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + op.vshape), jnp.float32)
+    xc = jnp.asarray(rng.normal(size=(C,) + vc), jnp.float32)
+
+    out_x = fused.ascend(jax.random.key(0), f, x, xc, noise=False)
+
+    exp = prolongate_add(0.75, xc, x, dim=2)
+    exp = post.apply(f, exp)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(exp),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_descend_visit_odd_chain_count():
+    """bc=1 path (no sin/cos pairing, single chain per block)."""
+    op, pre, _, fused = _setup(lowrank=False)
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(3,) + op.vshape), jnp.float32)
+    out_x, out_fc = fused.descend(jax.random.key(0), f, x, noise=False)
+    exp_x = pre.apply(f, x)
+    exp_fc = restrict(f - op.apply(exp_x), dim=2)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(exp_x),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_fc), np.asarray(exp_fc),
+                               rtol=2e-5, atol=2e-5)
