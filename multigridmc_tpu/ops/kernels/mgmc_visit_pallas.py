@@ -42,6 +42,7 @@ the fused path computes the identical linear algebra to the composed XLA path
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -60,11 +61,25 @@ _HI = jax.lax.Precision.HIGHEST
 #: (probed on v5e: 2x56 MB blocks compile with vmem_limit_bytes raised);
 #: the visit kernels raise the limit and budget conservatively.
 _VMEM_LIMIT = 96 * 1024 * 1024
-_VMEM_BUDGET = 64 * 1024 * 1024
+_VMEM_BUDGET = 84 * 1024 * 1024
 #: measured Mosaic stack usage per chain in the visit kernels: ~14 padded
 #: planes of temporaries (noise, sweep phases, residual) on top of the
 #: in/out blocks - budget 16 planes per chain
 _PLANES_PER_CHAIN = 16
+
+
+def _padded_plane(vshape):
+    """f32 bytes of one (1, *vshape) field in VMEM: the last two dims tile to
+    (8, 128), so e.g. a 63^3 grid occupies 63 x 64 x 128 floats (2.1 MB, 2x
+    the logical size) - the budget must use padded sizes or 3d kernels OOM."""
+    dims = list(vshape)
+    dims[-1] = -(-dims[-1] // 128) * 128
+    if len(dims) >= 2:
+        dims[-2] = -(-dims[-2] // 8) * 8
+    n = 4
+    for d in dims:
+        n *= d
+    return n
 
 
 def _unit_from_bits(bits):
@@ -141,7 +156,7 @@ def _woodbury(x, B_ref, Bbar_ref, m, dim):
     return x
 
 
-def _make_descend_kernel(*, params, n_seed_words, noise, m, bc):
+def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict):
     dim = len(params["offsets"][0])
 
     def kernel(*refs):
@@ -153,8 +168,8 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc):
         B_ref = next(it) if m else None
         Bbar_ref = next(it) if m else None
         sinv_ref = next(it) if m else None
-        Rh_ref = next(it)
-        RwT_ref = next(it)
+        Rh_ref = next(it) if fuse_restrict else None
+        RwT_ref = next(it) if fuse_restrict else None
         f_ref = next(it)
         x_ref = next(it)
         xout_ref = next(it)
@@ -184,6 +199,10 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc):
                 btx2 = _reduce_spatial(x * B_ref[k][None], dim)
                 r = r - (btx2 * sinv_ref[0, k]) * B_ref[k][None]
 
+        if not fuse_restrict:
+            # 3d (or diagnostic) variant: emit the residual, restrict outside
+            fc_ref[:] = r
+            return
         # restriction f_c = Rh r Rw^T per chain.  Slope-measured: batching
         # the lane contraction over the block (rank-3 dot_general) is ~0.3 ms
         # SLOWER here than per-chain rank-2 matmuls (collapsing (bc, H) with
@@ -197,7 +216,8 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc):
     return kernel
 
 
-def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling):
+def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
+                        fuse_prolongate):
     dim = len(params["offsets"][0])
 
     def kernel(*refs):
@@ -208,8 +228,8 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling):
         ns_ref = next(it) if noise else None
         B_ref = next(it) if m else None
         Bbar_ref = next(it) if m else None
-        RhT_ref = next(it)
-        Rw_ref = next(it)
+        RhT_ref = next(it) if fuse_prolongate else None
+        Rw_ref = next(it) if fuse_prolongate else None
         f_ref = next(it)
         x_ref = next(it)
         xc_ref = next(it)
@@ -225,11 +245,15 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling):
         x = x_ref[:]
         dim_ = dim
 
-        # x += gamma * P x_c: lane contraction batched, sublane per chain
-        u = _mm(xc_ref[:], Rw_ref[:])  # (bc, Hc, W)
-        RhT = RhT_ref[:]
-        px = jnp.stack([_mm(RhT, u[b]) for b in range(bc)], axis=0)
-        x = x + coarse_scaling * px
+        if fuse_prolongate:
+            # x += gamma * P x_c: lane contraction batched, sublane per chain
+            u = _mm(xc_ref[:], Rw_ref[:])  # (bc, Hc, W)
+            RhT = RhT_ref[:]
+            px = jnp.stack([_mm(RhT, u[b]) for b in range(bc)], axis=0)
+            x = x + coarse_scaling * px
+        else:
+            # 3d variant: P x_c computed outside, xc_ref holds the fine-size px
+            x = x + coarse_scaling * xc_ref[:]
 
         c = _noisy_rhs(f, x, ns_ref, xi_lr_ref, B_ref, m, dim_) if noise else f
         x = _sweep_body(coeffs, c, x, **params)
@@ -240,8 +264,16 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling):
     return kernel
 
 
+#: chains per grid block, capped at the slope-measured optimum (bc=16 at the
+#: bench shape is ~5% slower than bc=8: bigger blocks shrink the pipeline
+#: depth without saving overhead); MGMC_VISIT_BC_MAX overrides for tuning
+_BC_MAX = int(os.environ.get("MGMC_VISIT_BC_MAX", "8"))
+
+
 def _pick_bc(C, resident_bytes, per_chain_bytes, budget=_VMEM_BUDGET):
     for bc in (64, 32, 16, 8, 4, 2, 1):
+        if bc > _BC_MAX:
+            continue
         if C % bc == 0 and resident_bytes + bc * per_chain_bytes <= budget:
             return bc
     return None
@@ -255,14 +287,16 @@ def _block_seeds(key, nblocks):
 @functools.partial(
     jax.jit,
     static_argnames=("offsets", "diag_index", "omega", "order", "color_weights",
-                     "n_colors", "noise", "interpret"),
+                     "n_colors", "noise", "fuse_restrict", "interpret"),
 )
 def descend_visit(
     key, coeffs, noise_scale, B, Bbar, sinv, Rh, RwT, f, x, *,
     offsets, diag_index, omega, order, color_weights, n_colors,
-    noise=True, interpret=False,
+    noise=True, fuse_restrict=True, interpret=False,
 ):
-    """One fused descend visit.  Returns ``(x_new, f_coarse)``.
+    """One fused descend visit.  Returns ``(x_new, f_coarse)`` - or
+    ``(x_new, r)`` with ``fuse_restrict=False`` (3d: the tensor-product
+    restriction needs relayouts in-kernel, so it stays outside).
 
     ``f`` has shape ``(*v)`` (shared across chains) or ``(C, *v)``; ``x`` is
     ``(C, *v)``.  ``noise_scale`` is the field ``sqrt(D (2-omega)/omega)``;
@@ -275,12 +309,17 @@ def descend_visit(
     C, vshape = x.shape[0], x.shape[1:]
     m = 0 if B is None else B.shape[0]
     nk = coeffs.shape[0]
-    plane = 4 * vshape[0] * vshape[1]
-    vc = (Rh.shape[0], RwT.shape[1])
-    fc_plane = 4 * vc[0] * vc[1]
+    plane = _padded_plane(vshape)
+    if fuse_restrict:
+        vc = (Rh.shape[0], RwT.shape[1])
+        r_bytes = 4 * (Rh.size + RwT.size)
+    else:
+        vc = vshape
+        r_bytes = 0
+    fc_plane = _padded_plane(vc)
     f_batched = f.ndim == x.ndim
     resident = (nk + (1 if noise else 0) + 2 * m + (0 if f_batched else 1)) * plane \
-        + 4 * (Rh.size + RwT.size)
+        + r_bytes
     per_chain = (_PLANES_PER_CHAIN + (1 if f_batched else 0)) * plane + fc_plane
     bc = _pick_bc(C, resident, per_chain)
     if bc is None:
@@ -319,6 +358,7 @@ def descend_visit(
         _, sinv = sinv
     kern = _make_descend_kernel(
         params=params, n_seed_words=nw, noise=noise, m=m, bc=bc,
+        fuse_restrict=fuse_restrict,
     )
 
     def resident_spec(lead):
@@ -337,11 +377,12 @@ def descend_visit(
             # scalars want a 2d SMEM layout (Mosaic rejects rank-1 f32 SMEM)
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ])
-    args.extend([Rh, RwT])
-    in_specs.extend([
-        pl.BlockSpec(Rh.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(RwT.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ])
+    if fuse_restrict:
+        args.extend([Rh, RwT])
+        in_specs.extend([
+            pl.BlockSpec(Rh.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(RwT.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ])
     if f_batched:
         args.append(f)
         in_specs.append(
@@ -381,25 +422,28 @@ def descend_visit(
 @functools.partial(
     jax.jit,
     static_argnames=("offsets", "diag_index", "omega", "order", "color_weights",
-                     "n_colors", "coarse_scaling", "noise", "interpret"),
+                     "n_colors", "coarse_scaling", "noise", "fuse_prolongate",
+                     "interpret"),
 )
 def ascend_visit(
     key, coeffs, noise_scale, B, Bbar, lr_scale, RhT, Rw, f, x, x_coarse, *,
     offsets, diag_index, omega, order, color_weights, n_colors,
-    coarse_scaling=1.0, noise=True, interpret=False,
+    coarse_scaling=1.0, noise=True, fuse_prolongate=True, interpret=False,
 ):
     """One fused ascend visit: ``x += gamma P x_c`` then one backward Gibbs
-    sweep (+ Woodbury).  Returns the new x."""
+    sweep (+ Woodbury).  Returns the new x.  With ``fuse_prolongate=False``
+    ``x_coarse`` must hold the already-prolongated fine-size field ``P x_c``
+    (3d path)."""
     dim = len(offsets[0])
     C, vshape = x.shape[0], x.shape[1:]
     m = 0 if B is None else B.shape[0]
     nk = coeffs.shape[0]
-    plane = 4 * vshape[0] * vshape[1]
+    plane = _padded_plane(vshape)
     vc = x_coarse.shape[1:]
-    fc_plane = 4 * vc[0] * vc[1]
+    fc_plane = _padded_plane(vc)
     f_batched = f.ndim == x.ndim
     resident = (nk + (1 if noise else 0) + 2 * m + (0 if f_batched else 1)) * plane \
-        + 4 * (RhT.size + Rw.size)
+        + (4 * (RhT.size + Rw.size) if fuse_prolongate else 0)
     per_chain = (_PLANES_PER_CHAIN + (1 if f_batched else 0)) * plane + fc_plane
     bc = _pick_bc(C, resident, per_chain)
     if bc is None:
@@ -431,7 +475,7 @@ def ascend_visit(
             )
     kern = _make_ascend_kernel(
         params=params, n_seed_words=nw, noise=noise, m=m, bc=bc,
-        coarse_scaling=float(coarse_scaling),
+        coarse_scaling=float(coarse_scaling), fuse_prolongate=fuse_prolongate,
     )
 
     def resident_spec(lead):
@@ -446,11 +490,12 @@ def ascend_visit(
     if m:
         args.extend([B, Bbar])
         in_specs.extend([resident_spec(m), resident_spec(m)])
-    args.extend([RhT, Rw])
-    in_specs.extend([
-        pl.BlockSpec(RhT.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(Rw.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ])
+    if fuse_prolongate:
+        args.extend([RhT, Rw])
+        in_specs.extend([
+            pl.BlockSpec(RhT.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(Rw.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ])
     if f_batched:
         args.append(f)
         in_specs.append(
@@ -486,13 +531,14 @@ def ascend_visit(
 
 def supports_visit(vshape, dtype, n_offsets, m, nchains) -> Optional[int]:
     """Whether the fused visit kernels handle this level; returns the chain
-    block size bc, or None.  2d float32 only; the level's resident fields and
-    one double-buffered chain block must fit VMEM."""
-    if len(vshape) != 2 or jnp.dtype(dtype) != jnp.float32:
+    block size bc, or None.  2d and 3d float32 (3d without in-kernel
+    transfers); the level's resident fields and one chain block of kernel
+    temporaries must fit VMEM."""
+    if len(vshape) not in (2, 3) or jnp.dtype(dtype) != jnp.float32:
         return None
-    plane = 4 * vshape[0] * vshape[1]
+    plane = _padded_plane(vshape)
     resident = (n_offsets + 2 + 2 * m) * plane + 8 * plane  # R mats upper bound
-    per_chain = _PLANES_PER_CHAIN * plane + plane // 2
+    per_chain = _PLANES_PER_CHAIN * plane + plane
     return _pick_bc(nchains, resident, per_chain)
 
 
@@ -510,14 +556,20 @@ class FusedVisitLevel:
         self.omega = float(omega)
         self.interpret = bool(interpret)
         self.coarse_scaling = float(coarse_scaling)
-        H, W = op.vshape
+        #: 3d keeps the tensor-product transfers outside the kernel (the
+        #: middle-dim contractions would force in-kernel relayouts)
+        self.fuse_transfers = len(op.vshape) == 2
         name = jnp.dtype(op.coeffs.dtype).name
-        Rh = _restrict_matrix_1d(H, name)
-        Rw = _restrict_matrix_1d(W, name)
-        self.Rh = jnp.asarray(Rh)
-        self.RwT = jnp.asarray(Rw.T)
-        self.RhT = jnp.asarray(Rh.T)
-        self.Rw = jnp.asarray(Rw)
+        if self.fuse_transfers:
+            H, W = op.vshape
+            Rh = _restrict_matrix_1d(H, name)
+            Rw = _restrict_matrix_1d(W, name)
+            self.Rh = jnp.asarray(Rh)
+            self.RwT = jnp.asarray(Rw.T)
+            self.RhT = jnp.asarray(Rh.T)
+            self.Rw = jnp.asarray(Rw)
+        else:
+            self.Rh = self.RwT = self.RhT = self.Rw = None
         self.noise_scale = jnp.sqrt(
             op.diag_stencil() * ((2.0 - self.omega) / self.omega)
         )
@@ -539,17 +591,21 @@ class FusedVisitLevel:
         self.order_bwd = order_bwd
 
     def descend(self, key, f, x, noise=True):
+        """Returns (x, f_coarse) when transfers are fused, else (x, r)."""
         sinv = None if self.B is None else (self.lr_scale, self.sigma_inv)
         return descend_visit(
             key, self.op.coeffs, self.noise_scale, self.B, self.Bbar_fwd,
             sinv, self.Rh, self.RwT, f, x,
-            order=self.order_fwd, noise=noise, **self._statics,
+            order=self.order_fwd, noise=noise,
+            fuse_restrict=self.fuse_transfers, **self._statics,
         )
 
     def ascend(self, key, f, x, x_coarse, noise=True):
+        """``x_coarse`` is the coarse field when transfers are fused, else
+        the already-prolongated fine-size ``P x_c``."""
         return ascend_visit(
             key, self.op.coeffs, self.noise_scale, self.B, self.Bbar_bwd,
             self.lr_scale, self.RhT, self.Rw, f, x, x_coarse,
             order=self.order_bwd, coarse_scaling=self.coarse_scaling,
-            noise=noise, **self._statics,
+            noise=noise, fuse_prolongate=self.fuse_transfers, **self._statics,
         )

@@ -36,7 +36,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.intergrid import prolongate_add, restrict
+from ..ops.intergrid import prolongate, prolongate_add, restrict
 from ..ops.stencil import StencilOperator
 from ..smoothers import BACKWARD, FORWARD
 from ..solvers.multigrid import MultigridHierarchy
@@ -44,11 +44,12 @@ from .base import Sampler
 from .cholesky import DenseCholeskySampler
 from .sor import SORSampler, SSORSampler
 
-#: smallest grid extent for which a fused level-visit Pallas kernel beats the
-#: composed XLA visit.  Slope-measured on v5e at 256 chains (NOTES_R2.md):
-#: 255^2 fused wins 1.5x, 127^2 and below lose 2-5x (per-block overhead plus
-#: XLA's batched intergrid matmuls outpace the in-kernel per-chain ones).
-MIN_FUSED_EXTENT = int(os.environ.get("MGMC_FUSED_MIN_EXTENT", "128"))
+#: smallest level size (vertex count) for which a fused level-visit Pallas
+#: kernel beats the composed XLA visit.  Slope-measured on v5e at 256 chains
+#: (NOTES_R2.md): 255^2 (65k) fused wins 1.5x, 127^2 (16k) and below lose
+#: 2-5x (per-block overhead plus XLA's batched intergrid matmuls outpace the
+#: in-kernel per-chain ones).
+MIN_FUSED_VERTICES = int(os.environ.get("MGMC_FUSED_MIN_VERTICES", "40000"))
 
 
 class MultigridMCSampler(Sampler):
@@ -139,7 +140,7 @@ class MultigridMCSampler(Sampler):
         interpret = flag == "1" and jax.default_backend() == "cpu"
         for level in range(self.nlevel - 1):
             op = self.hierarchy.operators[level]
-            if min(op.vshape) < MIN_FUSED_EXTENT:
+            if op.lattice.nvertex < MIN_FUSED_VERTICES:
                 continue
             if supports_visit(op.vshape, op.coeffs.dtype, len(op.offsets),
                               op.m_lowrank, 16) is None:
@@ -164,7 +165,9 @@ class MultigridMCSampler(Sampler):
         for j in range(ncycle):
             kpre, kcoarse, kpost = jax.random.split(jax.random.fold_in(key, j), 3)
             if fused is not None:
-                x, f_coarse = fused.descend(kpre, f, x)
+                x, out = fused.descend(kpre, f, x)
+                f_coarse = out if fused.fuse_transfers else restrict(
+                    out, dim=op.lattice.dim)
             else:
                 x = self.presamplers[level].apply(kpre, f, x)
                 r = f - op.apply(x)
@@ -172,7 +175,9 @@ class MultigridMCSampler(Sampler):
             x_coarse = jnp.zeros_like(f_coarse)
             x_coarse = self._sample(level + 1, kcoarse, f_coarse, x_coarse)
             if fused is not None:
-                x = fused.ascend(kpost, f, x, x_coarse)
+                xc = x_coarse if fused.fuse_transfers else prolongate(
+                    x_coarse, op.vshape)
+                x = fused.ascend(kpost, f, x, xc)
             else:
                 x = prolongate_add(self.coarse_scaling, x_coarse, x, dim=op.lattice.dim)
                 x = self.postsamplers[level].apply(kpost, f, x)

@@ -20,7 +20,9 @@ NX = 64
 NLEVEL = 4
 CYCLE = 2
 NCHAINS = 32
-K = 10
+# two-length device-loop slope (the axon tunnel adds ~30 ms per dispatch;
+# see NOTES_R2.md "LATE-ROUND CORRECTION")
+K1, K2 = 10, 40
 
 
 def main():
@@ -56,26 +58,35 @@ def main():
     for nchains in (1, NCHAINS):
         shape = ((nchains,) if nchains > 1 else ()) + op.vshape
 
-        @jax.jit
-        def run(x, key):
-            def step(x, k):
-                return sampler.apply(jax.random.fold_in(key, k), f, x), 0.0
+        def make(K):
+            @jax.jit
+            def run(x, key):
+                def step(x, k):
+                    return sampler.apply(jax.random.fold_in(key, k), f, x), 0.0
 
-            x, _ = jax.lax.scan(step, x, jnp.arange(K))
-            return x
+                x, _ = jax.lax.scan(step, x, jnp.arange(K))
+                return x
 
-        x = jax.device_put(jnp.zeros(shape, dtype=jnp.float32), dev)
-        x = run(x, sampling_key(0))
-        jax.block_until_ready(x)
-        log(f"nchains={nchains}: compiled")
-        t1 = time.perf_counter()
-        x = run(x, sampling_key(1))
-        jax.block_until_ready(x)
-        dt = time.perf_counter() - t1
-        assert bool(jnp.isfinite(x).all())
+            return run
+
+        x0 = jax.device_put(jnp.zeros(shape, dtype=jnp.float32), dev)
+        ts = {}
+        for K in (K1, K2):
+            run = make(K)
+            x = run(x0, sampling_key(0))
+            jax.block_until_ready(x)
+            best = float("inf")
+            for i in range(3):
+                t1 = time.perf_counter()
+                jax.block_until_ready(run(x0, sampling_key(1 + i)))
+                best = min(best, time.perf_counter() - t1)
+            ts[K] = best
+            assert bool(jnp.isfinite(x).all())
+        dt = (ts[K2] - ts[K1]) / (K2 - K1)
         log(
-            f"nchains={nchains}: {nchains * K / dt:.1f} samples/s "
-            f"({dt / K * 1e3:.2f} ms/step)"
+            f"nchains={nchains}: {nchains / dt:.1f} samples/s "
+            f"({dt * 1e3:.2f} ms/step, slope; fused levels: "
+            f"{sorted(sampler.fused_levels)})"
         )
 
 

@@ -93,6 +93,28 @@ for C in [int(a) for a in (sys.argv[1:2] or ["256"])]:
             t_fa = slope_time(fus_asc, x0, key, n1=25, n2=100)
             line += (f" | fused desc {t_fd*1e3:7.3f} ({t_cd/t_fd:4.2f}x) "
                      f"asc {t_fa*1e3:7.3f} ({t_ca/t_fa:4.2f}x)")
+
+            # partial fusion: noise+sweep+Woodbury(+residual) in-kernel,
+            # tensor-product transfers outside on the XLA path
+            import copy
+
+            from multigridmc_tpu.ops.intergrid import prolongate
+
+            flp = copy.copy(fl)
+            flp.fuse_transfers = False
+
+            def par_desc(x, k, flp=flp, f=fl_f):
+                x, r = flp.descend(k, f, x)
+                fc = restrict(r, dim=2)
+                return x + 1e-6 * prolongate_add(1.0, fc, jnp.zeros_like(x), dim=2)
+
+            def par_asc(x, k, flp=flp, f=fl_f, xc=xc0, fshape=fshape):
+                return flp.ascend(k, f, x, prolongate(0.1 * xc, fshape))
+
+            t_pd = slope_time(par_desc, x0, key, n1=25, n2=100)
+            t_pa = slope_time(par_asc, x0, key, n1=25, n2=100)
+            line += (f" | partial desc {t_pd*1e3:7.3f} ({t_cd/t_pd:4.2f}x) "
+                     f"asc {t_pa*1e3:7.3f} ({t_ca/t_pa:4.2f}x)")
         print(line, flush=True)
 
     # full step comparison
@@ -106,12 +128,12 @@ for C in [int(a) for a in (sys.argv[1:2] or ["256"])]:
 
     with jax.default_device(cpu):
         os.environ["MGMC_FUSED"] = "1"
-        saved = mgmc_mod.MIN_FUSED_EXTENT
-        mgmc_mod.MIN_FUSED_EXTENT = min_extent
+        saved = mgmc_mod.MIN_FUSED_VERTICES
+        mgmc_mod.MIN_FUSED_VERTICES = min_extent * min_extent
         fused_sampler = mgmc_mod.MultigridMCSampler(
             op, nlevel=NLEVEL, smoother="SOR", coarse_solver="Cholesky",
             omega=1.0, cycle=CYCLE)
-        mgmc_mod.MIN_FUSED_EXTENT = saved
+        mgmc_mod.MIN_FUSED_VERTICES = saved
         os.environ["MGMC_FUSED"] = "0"
     t_fused = slope_time(lambda x, k: fused_sampler.apply(k, fl0, x), xf, key,
                          n1=25, n2=100)

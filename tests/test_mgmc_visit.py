@@ -105,3 +105,41 @@ def test_descend_visit_odd_chain_count():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(out_fc), np.asarray(exp_fc),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_descend_ascend_visit_3d_matches_composed():
+    """3d path: sweep/Woodbury/residual fused, transfers outside
+    (fuse_transfers=False)."""
+    lattice = Lattice((10, 12, 14))
+    op = shiftedlaplace_fd(lattice, ConstantCorrelationLengthModel(0.3),
+                           dtype=jnp.float32)
+    coloring = coloring_for(op.offsets, op.vshape)
+    pre = SORSmoother(op, 1.0, 1, FORWARD, coloring)
+    post = SORSmoother(op, 1.0, 1, BACKWARD, coloring)
+    fused = FusedVisitLevel(op, coloring, 1.0, pre.order, post.order,
+                            pre.B_bar, post.B_bar, coarse_scaling=0.5,
+                            interpret=True)
+    assert not fused.fuse_transfers
+    rng = np.random.default_rng(4)
+    C = 4
+    f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + op.vshape), jnp.float32)
+
+    out_x, out_r = fused.descend(jax.random.key(0), f, x, noise=False)
+    exp_x = pre.apply(f, x)
+    exp_r = f - op.apply(exp_x)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(exp_x),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(exp_r),
+                               rtol=2e-5, atol=2e-5)
+
+    # ascend takes the pre-prolongated fine-size P x_c
+    from multigridmc_tpu.ops.intergrid import prolongate
+
+    vc = tuple(m // 2 for m in op.vshape)
+    xc = jnp.asarray(rng.normal(size=(C,) + vc), jnp.float32)
+    px = prolongate(xc, op.vshape)
+    out_a = fused.ascend(jax.random.key(0), f, x, px, noise=False)
+    exp = post.apply(f, prolongate_add(0.5, xc, x, dim=3))
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(exp),
+                               rtol=2e-5, atol=2e-5)
