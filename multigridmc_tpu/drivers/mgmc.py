@@ -85,19 +85,36 @@ def measure_sampling_time(label, sampler, op, config, f, sample_vec, xbar, y, fi
     key = sampling_key(5418513)
     x = jnp.zeros(op.lattice.vshape)
 
-    # every sampler (including the band "sparse" Cholesky) is device-resident
-    step = jax.jit(lambda key, x: sampler.apply(key, fj, x))
+    # The chain is sequential (reference semantics, driver_mgmc.cc:72-78) but
+    # the per-step host round trip is not: run the chain in device-side scan
+    # chunks that emit the observable z_k = <w, x_k> per step.  One dispatch
+    # per chunk instead of per sample (the remote-TPU tunnel costs ~30 ms per
+    # dispatch, which would otherwise dominate every timing).
+    def chain(x, k0, n):
+        def step(x, k):
+            x = sampler.apply(jax.random.fold_in(key, k), fj, x)
+            return x, jnp.tensordot(x, svec, axes=op.lattice.dim)
+
+        return jax.lax.scan(step, x, k0 + jnp.arange(n))
+
+    chain_j = jax.jit(chain, static_argnums=2)
 
     sampler.fix_rhs(fj)
-    for k in range(sp.nwarmup):
-        x = step(jax.random.fold_in(key, k), x)
+    done = 0
+    while done < sp.nwarmup:
+        n = min(512, sp.nwarmup - done)
+        x, _ = chain_j(x, jnp.int32(done), n)
+        done += n
     jax.block_until_ready(x)
 
     data = np.empty(sp.nsamples)
     t0 = time.perf_counter()
-    for k in range(sp.nsamples):
-        x = step(jax.random.fold_in(key, sp.nwarmup + k), x)
-        data[k] = float(jnp.vdot(svec, x))
+    done = 0
+    while done < sp.nsamples:
+        n = min(512, sp.nsamples - done)
+        x, z = chain_j(x, jnp.int32(sp.nwarmup + done), n)
+        data[done:done + n] = np.asarray(z)
+        done += n
     jax.block_until_ready(x)
     t_elapsed = (time.perf_counter() - t0) * 1e3 / sp.nsamples
     print(f"  {label:>12s} time per sample = {t_elapsed:12.4f} ms")

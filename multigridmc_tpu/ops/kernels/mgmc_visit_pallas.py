@@ -168,6 +168,7 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict):
         B_ref = next(it) if m else None
         Bbar_ref = next(it) if m else None
         sinv_ref = next(it) if m else None
+        G_ref = next(it) if m else None
         Rh_ref = next(it) if fuse_restrict else None
         RwT_ref = next(it) if fuse_restrict else None
         f_ref = next(it)
@@ -187,16 +188,25 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict):
 
         c = _noisy_rhs(f, x, ns_ref, xi_lr_ref, B_ref, m, dim) if noise else f
         x = _sweep_body(coeffs, c, x, **params)
+        btx = None
         if m:
-            x = _woodbury(x, B_ref, Bbar_ref, m, dim)
+            # Woodbury inline so btx is reusable for the residual below
+            btx = [_reduce_spatial(x * B_ref[k][None], dim) for k in range(m)]
+            for l in range(m):
+                x = x - btx[l] * Bbar_ref[l][None]
         xout_ref[:] = x
 
         # residual r = f - A x  (full operator incl. low-rank term)
         iotas = [jax.lax.broadcasted_iota(jnp.int32, vshape, d) for d in range(dim)]
         r = f - _apply_stencil(coeffs, x, params["offsets"], iotas, vshape)
         if m:
+            # B^T x' after the Woodbury correction without re-reducing the
+            # full fields: B^T(x - Bbar btx) = (I - G) btx with the
+            # precomputed m x m Gram matrix G[k,l] = <B_k, Bbar_l>
             for k in range(m):
-                btx2 = _reduce_spatial(x * B_ref[k][None], dim)
+                btx2 = btx[k]
+                for l in range(m):
+                    btx2 = btx2 - G_ref[k, l] * btx[l]
                 r = r - (btx2 * sinv_ref[0, k]) * B_ref[k][None]
 
         if not fuse_restrict:
@@ -341,7 +351,7 @@ def descend_visit(
             pl.BlockSpec((nblocks * nw,), lambda i: (0,), memory_space=pltpu.SMEM)
         )
         if m:
-            lr_scale, sinv = sinv
+            lr_scale, sinv, G = sinv
             # shaped (C, 1, .., 1, m) so the block's trailing dims equal the
             # array dims (Mosaic tiling rule); sliced (bc,1,..,1) in-kernel
             xi_lr = (jax.random.normal(klr, (C, m), x.dtype) * lr_scale
@@ -355,7 +365,7 @@ def descend_visit(
         else:
             sinv = None
     elif m:
-        _, sinv = sinv
+        _, sinv, G = sinv
     kern = _make_descend_kernel(
         params=params, n_seed_words=nw, noise=noise, m=m, bc=bc,
         fuse_restrict=fuse_restrict,
@@ -371,11 +381,12 @@ def descend_visit(
         args.append(noise_scale.reshape((1,) + vshape))
         in_specs.append(resident_spec(1))
     if m:
-        args.extend([B, Bbar, sinv.reshape(1, m)])
+        args.extend([B, Bbar, sinv.reshape(1, m), G])
         in_specs.extend([
             resident_spec(m), resident_spec(m),
             # scalars want a 2d SMEM layout (Mosaic rejects rank-1 f32 SMEM)
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ])
     if fuse_restrict:
         args.extend([Rh, RwT])
@@ -579,6 +590,10 @@ class FusedVisitLevel:
             self.Bbar_bwd = Bbar_bwd
             self.lr_scale = 1.0 / jnp.sqrt(op.lowrank.Sigma_diag)
             self.sigma_inv = 1.0 / op.lowrank.Sigma_diag
+            # Gram matrix for the kernel's (I - G) btx residual shortcut
+            self.G_fwd = jnp.einsum(
+                "k...,l...->kl", self.B, Bbar_fwd,
+                precision=jax.lax.Precision.HIGHEST)
         else:
             self.B = self.Bbar_fwd = self.Bbar_bwd = None
             self.lr_scale = self.sigma_inv = None
@@ -592,7 +607,8 @@ class FusedVisitLevel:
 
     def descend(self, key, f, x, noise=True):
         """Returns (x, f_coarse) when transfers are fused, else (x, r)."""
-        sinv = None if self.B is None else (self.lr_scale, self.sigma_inv)
+        sinv = None if self.B is None else (
+            self.lr_scale, self.sigma_inv, self.G_fwd)
         return descend_visit(
             key, self.op.coeffs, self.noise_scale, self.B, self.Bbar_fwd,
             sinv, self.Rh, self.RwT, f, x,
