@@ -99,13 +99,20 @@ def measure_tpu():
         """Median-of-3 two-length slope; returns (s/step, fixed s/call)."""
         runs = {n: jax.jit(lambda x, key, n=n: chain(x, key, n)) for n in (n1, n2)}
         ts = {}
+
+        def force(x):
+            # a scalar host read forces remote completion (block_until_ready
+            # does not reliably block on the tunnel for all program classes);
+            # its fixed cost cancels in the slope
+            return float(x.ravel()[0])
+
         for n, run in runs.items():
             x = run(x0, sampling_key(n))  # compile + warmup
-            jax.block_until_ready(x)
+            force(x)
             samples = []
             for i in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(run(x0, sampling_key(10 * n + i)))
+                force(run(x0, sampling_key(10 * n + i)))
                 samples.append(time.perf_counter() - t0)
             ts[n] = sorted(samples)[1]
         per_step = (ts[n2] - ts[n1]) / (n2 - n1)

@@ -553,6 +553,44 @@ def supports_visit(vshape, dtype, n_offsets, m, nchains) -> Optional[int]:
     return _pick_bc(nchains, resident, per_chain)
 
 
+def fused_levels_for(operators, presmoothers, postsmoothers, coarse_scaling,
+                     min_vertices, interpret=False):
+    """Shared gating + construction of per-level fused visit kernels.
+
+    ``presmoothers``/``postsmoothers`` are the SORSmoother objects per level
+    (the MGMC sampler passes its samplers' ``.smoother``).  Enabled by default
+    on a single TPU device (``MGMC_FUSED=0`` disables, ``=1`` forces); levels
+    below ``min_vertices`` or unsupported shapes stay on the composed path.
+    """
+    flag = os.environ.get("MGMC_FUSED", "auto")
+    if flag == "0":
+        return {}
+    if flag != "1":
+        try:
+            if jax.default_backend() == "cpu" or len(jax.devices()) != 1:
+                return {}
+        except RuntimeError:
+            return {}
+    levels = {}
+    for level in range(len(operators) - 1):
+        op = operators[level]
+        pre, post = presmoothers[level], postsmoothers[level]
+        if not (hasattr(pre, "order") and hasattr(post, "order")):
+            continue  # SSOR or nsmooth-wrapped smoothers: composed path
+        if pre.nsmooth != 1 or post.nsmooth != 1:
+            continue
+        if op.lattice.nvertex < min_vertices:
+            continue
+        if supports_visit(op.vshape, op.coeffs.dtype, len(op.offsets),
+                          op.m_lowrank, 16) is None:
+            continue
+        levels[level] = FusedVisitLevel(
+            op, pre.coloring, pre.omega, pre.order, post.order,
+            pre.B_bar, post.B_bar, coarse_scaling, interpret=interpret,
+        )
+    return levels
+
+
 class FusedVisitLevel:
     """Per-level bundle of precomputed arrays + static config for the fused
     visit kernels.  Built by MultigridMCSampler when fused visits are enabled;

@@ -124,34 +124,17 @@ class MultigridMCSampler(Sampler):
         (CPU, single chain, sharded/multi-device, 3d, SSOR, nsmooth>1).
         """
         self.fused_levels = {}
-        flag = os.environ.get("MGMC_FUSED", "auto")
-        if flag == "0":
-            return
+        # one fused kernel call = exactly one sweep per visit
         if smoother != "SOR" or npresmooth != 1 or npostsmooth != 1:
             return
-        if flag != "1":
-            try:
-                if jax.default_backend() == "cpu" or len(jax.devices()) != 1:
-                    return
-            except RuntimeError:
-                return
-        from ..ops.kernels.mgmc_visit_pallas import FusedVisitLevel, supports_visit
+        from ..ops.kernels.mgmc_visit_pallas import fused_levels_for
 
-        interpret = flag == "1" and jax.default_backend() == "cpu"
-        for level in range(self.nlevel - 1):
-            op = self.hierarchy.operators[level]
-            if op.lattice.nvertex < MIN_FUSED_VERTICES:
-                continue
-            if supports_visit(op.vshape, op.coeffs.dtype, len(op.offsets),
-                              op.m_lowrank, 16) is None:
-                continue
-            pre, post = self.presamplers[level], self.postsamplers[level]
-            self.fused_levels[level] = FusedVisitLevel(
-                op, pre.smoother.coloring, pre.omega,
-                pre.smoother.order, post.smoother.order,
-                pre.smoother.B_bar, post.smoother.B_bar,
-                self.coarse_scaling, interpret=interpret,
-            )
+        self.fused_levels = fused_levels_for(
+            self.hierarchy.operators,
+            [p.smoother for p in self.presamplers],
+            [p.smoother for p in self.postsamplers],
+            self.coarse_scaling, MIN_FUSED_VERTICES,
+        )
 
     def _sample(self, level: int, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
         """Recursive stochastic cycle (``multigridmc_sampler.cc:103-130``),

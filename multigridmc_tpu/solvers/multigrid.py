@@ -14,13 +14,14 @@ per cycle.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.coarsen import galerkin_coarsen
-from ..ops.intergrid import prolongate_add, restrict
+from ..ops.intergrid import prolongate, prolongate_add, restrict
 from ..ops.stencil import StencilOperator
 from ..smoothers import BACKWARD, FORWARD, SORSmoother, SSORSmoother
 from .cholesky import DenseCholeskySolver
@@ -84,6 +85,20 @@ class MultigridPreconditioner:
         # on-device factorisation is the TPU-native equivalent.
         self.coarse_solver = DenseCholeskySolver(self.hierarchy.operators[-1])
 
+        # The deterministic cycle reuses the fused level-visit Pallas kernels
+        # with noise disabled (same gating as the MGMC sampler: batched rhs on
+        # a single TPU device, large-enough SOR levels).
+        self.fused_levels = {}
+        if smoother == "SOR" and npresmooth == 1 and npostsmooth == 1:
+            from ..samplers.mgmc import MIN_FUSED_VERTICES
+            from ..ops.kernels.mgmc_visit_pallas import fused_levels_for
+
+            self.fused_levels = fused_levels_for(
+                self.hierarchy.operators, self.presmoothers,
+                self.postsmoothers, self.coarse_scaling, MIN_FUSED_VERTICES,
+            )
+        self._dummy_key = jax.random.key(0)
+
     def _solve(self, level: int, b: jax.Array) -> jax.Array:
         """Recursive cycle, unrolled at trace time; x is zero-initialised at every
         level entry (``multigrid_preconditioner.cc:74-101``)."""
@@ -92,16 +107,34 @@ class MultigridPreconditioner:
         x = jnp.zeros_like(b)
         if level == nlevel - 1:
             return self.coarse_solver.apply(b)
+        vdim = len(op.vshape)
+        fused = self.fused_levels.get(level) if b.ndim == vdim + 1 else None
         ncycle = self.cycle if level > 0 else 1
         for _ in range(ncycle):
-            x = self.presmoothers[level].apply(b, x)
-            r = b - op.apply(x)
-            b_coarse = restrict(r, dim=op.lattice.dim)
+            if fused is not None:
+                x, out = fused.descend(self._dummy_key, b, x, noise=False)
+                b_coarse = out if fused.fuse_transfers else restrict(
+                    out, dim=op.lattice.dim)
+            else:
+                x = self.presmoothers[level].apply(b, x)
+                r = b - op.apply(x)
+                b_coarse = restrict(r, dim=op.lattice.dim)
             x_coarse = self._solve(level + 1, b_coarse)
-            x = prolongate_add(self.coarse_scaling, x_coarse, x, dim=op.lattice.dim)
-            x = self.postsmoothers[level].apply(b, x)
+            if fused is not None:
+                xc = x_coarse if fused.fuse_transfers else prolongate(
+                    x_coarse, op.vshape)
+                x = fused.ascend(self._dummy_key, b, x, xc, noise=False)
+            else:
+                x = prolongate_add(self.coarse_scaling, x_coarse, x, dim=op.lattice.dim)
+                x = self.postsmoothers[level].apply(b, x)
         return x
 
     def apply(self, b: jax.Array) -> jax.Array:
         """One multigrid cycle applied to b (x implicitly zero-initialised)."""
+        vdim = len(self.hierarchy.operators[0].vshape)
+        if self.fused_levels and b.ndim > vdim + 1:
+            batch = b.shape[: b.ndim - vdim]
+            vshape = self.hierarchy.operators[0].vshape
+            out = self._solve(0, b.reshape((-1,) + vshape))
+            return out.reshape(batch + vshape)
         return self._solve(0, b)

@@ -30,63 +30,63 @@ def main():
     rng = np.random.default_rng(1482817)
     b = jax.device_put(jnp.asarray(rng.normal(size=op.vshape), dtype=jnp.float32), dev)
 
-    K = 20
+    # two-length device-loop slope (the tunnel adds ~30 ms per dispatch,
+    # see NOTES_R2.md "LATE-ROUND CORRECTION"); both lengths must be large
+    # enough to sit in the slow/looped regime - short deterministic loops
+    # (K<~20) hit a fast path that skips the fixed cost entirely and would
+    # corrupt the slope
+    K1, K2 = 40, 160
 
-    @jax.jit
-    def run(b):
-        def body(_, x):
-            return x - precond.apply(op.apply(x) - b)
+    def make(K):
+        @jax.jit
+        def run(b):
+            def body(_, x):
+                return x - precond.apply(op.apply(x) - b)
 
-        x = jax.lax.fori_loop(0, K, body, jnp.zeros_like(b))
-        return x, jnp.linalg.norm(op.apply(x) - b) / jnp.linalg.norm(b)
+            x = jax.lax.fori_loop(0, K, body, jnp.zeros_like(b))
+            return x, jnp.linalg.norm(op.apply(x) - b) / jnp.linalg.norm(b)
 
-    x, red = run(b)
-    jax.block_until_ready(x)
-    # time over several calls with *different* rhs to defeat any caching/CSE
-    nrep = 5
-    bs = [
-        jax.device_put(jnp.asarray(rng.normal(size=op.vshape), dtype=jnp.float32), dev)
-        for _ in range(nrep)
-    ]
-    for bb_ in bs:
-        jax.block_until_ready(bb_)
-    # per-call sync; discard the first timed rep (async completion race on the
-    # remote transport makes it report ~0)
-    times = []
-    for bb_ in bs:
-        t0 = time.perf_counter()
-        x, red = run(bb_)
-        jax.block_until_ready(x)
-        jax.block_until_ready(red)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times[1:]))
-    print(
-        f"tpu deterministic MG: {dt / K * 1e3:.3f} ms/cycle, "
-        f"residual reduction {float(red):.3e} over {K} cycles "
-        f"(from x=0; float32 floor ~1e-6)"
-    )
+        return run
 
-    # batched right-hand sides: the production way to run many solves
+    def slope(shape, label, n=1):
+        # distinct rhs per repetition: the tunnel serves repeated calls with
+        # identical (program, args) from a result cache (~0.1 ms round trips)
+        rhss = [jax.device_put(
+            jnp.asarray(rng.normal(size=shape), dtype=jnp.float32), dev)
+            for _ in range(4)]
+        ts = {}
+        red = None
+
+        def force(x):
+            # block_until_ready does not reliably block on the tunnel for
+            # deterministic loops; a scalar host read does (cost cancels in
+            # the slope)
+            return float(x.ravel()[0])
+
+        for K in (K1, K2):
+            run = make(K)
+            x, red = run(rhss[3])
+            force(x)
+            best = float("inf")
+            for i in range(3):
+                t0 = time.perf_counter()
+                x, red = run(rhss[i])
+                force(x)
+                best = min(best, time.perf_counter() - t0)
+            ts[K] = best
+        dt = (ts[K2] - ts[K1]) / (K2 - K1)
+        print(f"tpu deterministic MG, {label}: {dt * 1e3 / n:.4f} ms/cycle"
+              + (f"-batch ({n / dt:.0f} cycle-solves/s)" if n > 1 else
+                 f", residual reduction {float(red):.3e} over {K2} cycles"
+                 " (float32 floor ~1e-6)"),
+              flush=True)
+
+    slope(op.vshape, "1 rhs")
     nrhs = 64
-    bb = jax.device_put(
-        jnp.asarray(rng.normal(size=(nrhs,) + op.vshape), dtype=jnp.float32), dev
-    )
-
-    @jax.jit
-    def runb(b):
-        def body(_, x):
-            return x - precond.apply(op.apply(x) - b)
-
-        return jax.lax.fori_loop(0, K, body, jnp.zeros_like(b))
-
-    xb = runb(bb)
-    jax.block_until_ready(xb)
-    t0 = time.perf_counter()
-    xb = runb(bb)
-    jax.block_until_ready(xb)
-    dt = time.perf_counter() - t0
-    print(f"tpu deterministic MG, {nrhs} rhs: {dt / K * 1e3:.2f} ms/cycle-batch "
-          f"({nrhs * K / dt:.0f} cycle-solves/s)")
+    print(f"fused levels: {sorted(precond.fused_levels)}", flush=True)
+    slope((nrhs,) + op.vshape, f"{nrhs} rhs", n=nrhs)
+    nrhs = 256
+    slope((nrhs,) + op.vshape, f"{nrhs} rhs", n=nrhs)
 
 
 if __name__ == "__main__":

@@ -74,11 +74,11 @@ def main():
         for K in (K1, K2):
             run = make(K)
             x = run(x0, sampling_key(0))
-            jax.block_until_ready(x)
+            float(x.ravel()[0])  # scalar read forces remote completion
             best = float("inf")
             for i in range(3):
                 t1 = time.perf_counter()
-                jax.block_until_ready(run(x0, sampling_key(1 + i)))
+                float(run(x0, sampling_key(1 + i)).ravel()[0])
                 best = min(best, time.perf_counter() - t1)
             ts[K] = best
             assert bool(jnp.isfinite(x).all())

@@ -25,14 +25,28 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, n=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+def slope_ms(step, b, x, n1=20, n2=80):
+    """Two-length device-loop slope: the tunnel adds a ~30 ms fixed per-call
+    cost, so per-call timing measures the constant (NOTES_R2.md)."""
+    def make(K):
+        @jax.jit
+        def run(b, x):
+            return jax.lax.fori_loop(0, K, lambda _, x: step(b, x), x)
+
+        return run
+
+    ts = {}
+    xs = [x * (1.0 + 1e-6 * i) for i in range(4)]  # distinct inputs per rep
+    for K in (n1, n2):
+        run = make(K)
+        float(run(b, xs[3]).ravel()[0])  # scalar read forces completion
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(run(b, xs[i]).ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        ts[K] = best
+    return (ts[n2] - ts[n1]) / (n2 - n1)
 
 
 def main():
@@ -41,6 +55,7 @@ def main():
     from multigridmc_tpu.models.prior import shiftedlaplace_fd, shiftedlaplace_fem
     from multigridmc_tpu.ops.coloring import coloring_for
     from multigridmc_tpu.ops.kernels.sor_pallas import fused_sor_sweep, supports
+    from multigridmc_tpu.ops.kernels.sor_pallas_v2 import supports_v2, sweep_batched_v2
     from multigridmc_tpu.smoothers import sor_sweep
 
     print(f"backend: {jax.default_backend()}")
@@ -63,21 +78,27 @@ def main():
             n = op.lattice.nvertex * batch
             nnz = n * len(op.offsets)
 
-            f_jax = jax.jit(lambda b, x: sor_sweep(op, masks, 1.0, order, b, x))
-            t = timeit(f_jax, b, x)
+            kw = dict(offsets=op.offsets, diag_index=op.diag_index, omega=1.0,
+                      order=order, color_weights=coloring.weights,
+                      n_colors=coloring.n_colors)
+
+            # scale loop lengths so the slope signal clears timing noise on
+            # small shapes (aim for >= ~50 ms of device time at length n2)
+            n2 = max(80, min(4000, int(3e9 / max(nnz, 1))))
+            n1 = n2 // 4
+            slope = lambda step: slope_ms(step, b, x, n1=n1, n2=n2)
+
+            t = slope(lambda b, x: sor_sweep(op, masks, 1.0, order, b, x))
             results.append((name, nx, batch, "xla", t, coloring.n_colors * nnz / t))
 
             if batch == 1 and supports(op.vshape, jnp.float32, len(op.offsets), 1):
-                f_p = jax.jit(
-                    lambda b, x: fused_sor_sweep(
-                        coeffs, b, x,
-                        offsets=op.offsets, diag_index=op.diag_index, omega=1.0,
-                        order=order, color_weights=coloring.weights,
-                        n_colors=coloring.n_colors,
-                    )
-                )
-                t = timeit(f_p, b, x)
-                results.append((name, nx, batch, "pallas", t, coloring.n_colors * nnz / t))
+                t = slope(lambda b, x: fused_sor_sweep(coeffs, b, x, **kw))
+                results.append((name, nx, batch, "pallas", t,
+                                coloring.n_colors * nnz / t))
+            if batch > 1 and supports_v2(op.vshape, jnp.float32, len(op.offsets)):
+                t = slope(lambda b, x: sweep_batched_v2(coeffs, b, x, **kw))
+                results.append((name, nx, batch, "pallas-v2", t,
+                                coloring.n_colors * nnz / t))
 
     print(f"{'stencil':>8} {'nx':>5} {'batch':>5} {'path':>7} {'ms/sweep':>9} {'Gnnz/s':>8}")
     for name, nx, batch, path, t, rate in results:

@@ -143,3 +143,33 @@ def test_descend_ascend_visit_3d_matches_composed():
     exp = post.apply(f, prolongate_add(0.5, xc, x, dim=3))
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(exp),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_preconditioner_matches_composed():
+    """MultigridPreconditioner with fused (noise=False) visits equals the
+    composed cycle elementwise for batched rhs."""
+    from multigridmc_tpu.solvers.multigrid import MultigridPreconditioner
+
+    op, _, _, fused = _setup(lowrank=True)
+    prec = MultigridPreconditioner(op, nlevel=2, smoother="SOR", cycle=2,
+                                   coarse_scaling=0.75)
+    assert not prec.fused_levels  # gating off on CPU
+    rng = np.random.default_rng(6)
+    b = jnp.asarray(rng.normal(size=(4,) + op.vshape), jnp.float32)
+    expected = prec.apply(b)
+
+    # inject an interpret-mode fused level and re-apply
+    pre, post = prec.presmoothers[0], prec.postsmoothers[0]
+    prec.fused_levels = {0: FusedVisitLevel(
+        op, pre.coloring, pre.omega, pre.order, post.order,
+        pre.B_bar, post.B_bar, 0.75, interpret=True)}
+    got = prec.apply(b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+    # multi-dim batch reshaping path
+    b2 = b.reshape((2, 2) + op.vshape)
+    got2 = prec.apply(b2)
+    np.testing.assert_allclose(np.asarray(got2),
+                               np.asarray(expected).reshape(b2.shape),
+                               rtol=1e-6, atol=1e-6)
