@@ -124,6 +124,7 @@ class MultigridMCSampler(Sampler):
         (CPU, single chain, sharded/multi-device, 3d, SSOR, nsmooth>1).
         """
         self.fused_levels = {}
+        self.subtree = None
         # one fused kernel call = exactly one sweep per visit
         if smoother != "SOR" or npresmooth != 1 or npostsmooth != 1:
             return
@@ -134,6 +135,38 @@ class MultigridMCSampler(Sampler):
             [p.smoother for p in self.presamplers],
             [p.smoother for p in self.postsamplers],
             self.coarse_scaling, MIN_FUSED_VERTICES,
+        )
+        self._build_subtree()
+
+    def _build_subtree(self):
+        """One Pallas call for the whole coarse subtree (levels 1..coarsest).
+
+        OPT-IN (MGMC_SUBTREE=1): profiling shows the sub-levels cost ~3.5
+        ms/step over ~1300 tiny XLA ops, but the fused subtree measured
+        SLOWER (11.1 ms/step vs 5.5 composed at 256 chains; bc 8/32 alike) -
+        Mosaic's in-kernel execution of op-rich small-field work cannot match
+        XLA's batched fusions, the mirror image of the finest level where the
+        fused visits win.  Kept as validated groundwork (exact vs the
+        composed recursion on TPU; see NOTES_R2.md)."""
+        self.subtree = None
+        if os.environ.get("MGMC_SUBTREE", "0") != "1":
+            return
+        if not self.fused_levels:
+            return  # fused gating (backend/device/flag checks) said no
+        if self.nlevel < 3 or not isinstance(self.coarse_sampler, DenseCholeskySampler):
+            return
+        sub_ops = self.hierarchy.operators[1:]
+        if any(len(op.vshape) != 2 or op.coeffs.dtype != jnp.float32
+               for op in sub_ops):
+            return
+        from ..ops.kernels.mgmc_subtree_pallas import SubtreeKernel
+
+        self.subtree = SubtreeKernel(
+            sub_ops,
+            [p.smoother for p in self.presamplers[1:self.nlevel - 1]],
+            [p.smoother for p in self.postsamplers[1:self.nlevel - 1]],
+            self.coarse_sampler.L,
+            self.presamplers[0].omega, self.cycle, self.coarse_scaling,
         )
 
     def _sample(self, level: int, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
@@ -155,8 +188,11 @@ class MultigridMCSampler(Sampler):
                 x = self.presamplers[level].apply(kpre, f, x)
                 r = f - op.apply(x)
                 f_coarse = restrict(r, dim=op.lattice.dim)
-            x_coarse = jnp.zeros_like(f_coarse)
-            x_coarse = self._sample(level + 1, kcoarse, f_coarse, x_coarse)
+            if level == 0 and self.subtree is not None and x.ndim == vdim + 1:
+                x_coarse = self.subtree.sample(kcoarse, f_coarse)
+            else:
+                x_coarse = jnp.zeros_like(f_coarse)
+                x_coarse = self._sample(level + 1, kcoarse, f_coarse, x_coarse)
             if fused is not None:
                 xc = x_coarse if fused.fuse_transfers else prolongate(
                     x_coarse, op.vshape)

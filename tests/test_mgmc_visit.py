@@ -173,3 +173,52 @@ def test_fused_preconditioner_matches_composed():
     np.testing.assert_allclose(np.asarray(got2),
                                np.asarray(expected).reshape(b2.shape),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_subtree_kernel_matches_composed():
+    """The coarse-subtree kernel (noise=False) equals the composed
+    deterministic recursion: per cycle iteration [forward sweep, Woodbury,
+    residual, restrict, recurse, prolongate_add, backward sweep, Woodbury],
+    coarse level solved exactly."""
+    from multigridmc_tpu.ops.kernels.mgmc_subtree_pallas import SubtreeKernel
+    from multigridmc_tpu.solvers.multigrid import MultigridHierarchy
+
+    op, _, _, _ = _setup(nx=32, lowrank=True)
+    hierarchy = MultigridHierarchy(op, 3)
+    ops = hierarchy.operators
+    cycle, gamma, omega = 2, 0.75, 1.0
+    pres = [SORSmoother(o, omega, 1, FORWARD) for o in ops[:-1]]
+    posts = [SORSmoother(o, omega, 1, BACKWARD) for o in ops[:-1]]
+    import jax.numpy as jnp2
+
+    L = jnp.linalg.cholesky(jnp.asarray(ops[-1].to_dense(), jnp.float32))
+    sub = SubtreeKernel(ops, pres, posts, L, omega, cycle, gamma,
+                        interpret=True)
+
+    rng = np.random.default_rng(8)
+    C = 4
+    f = jnp.asarray(rng.normal(size=(C,) + ops[0].vshape), jnp.float32)
+    got = sub.sample(jax.random.key(0), f, noise=False)
+
+    Qc_inv = jnp.asarray(np.linalg.inv(ops[-1].to_dense()), jnp.float32)
+
+    def composed(level, f_l):
+        if level == len(ops) - 1:
+            n = f_l.shape[-2] * f_l.shape[-1]
+            return jnp.tensordot(
+                f_l.reshape(C, n), Qc_inv, axes=([1], [1])
+            ).reshape(f_l.shape)
+        o = ops[level]
+        x = jnp.zeros_like(f_l)
+        for _ in range(cycle):
+            x = pres[level].apply(f_l, x)
+            r = f_l - o.apply(x)
+            fc = restrict(r, dim=2)
+            xc = composed(level + 1, fc)
+            x = prolongate_add(gamma, xc, x, dim=2)
+            x = posts[level].apply(f_l, x)
+        return x
+
+    exp = composed(0, f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                               rtol=5e-4, atol=5e-4)
