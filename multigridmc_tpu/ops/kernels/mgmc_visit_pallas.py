@@ -148,16 +148,31 @@ def _reduce_spatial(t, dim):
     return t
 
 
-def _woodbury(x, B_ref, Bbar_ref, m, dim):
-    """x - B_bar (B^T x), cf. ``sor_smoother.cc:47-51``."""
-    btx = [_reduce_spatial(x * B_ref[k][None], dim) for k in range(m)]
-    for l in range(m):
-        x = x - btx[l] * Bbar_ref[l][None]
-    return x
+def _sweeps(coeffs, x, f, params, orders, m, noise, ns_ref, xi_lr_ref, B_ref,
+            Bbar_ref, dim):
+    """One visit's sweep stack: for each directed sweep d, fresh Gibbs noise,
+    the colour sweep, and that direction's Woodbury correction (``Bbar_ref``
+    holds ``n_dirs * m`` stacked fields).  One sweep = SOR visits; two
+    (forward, backward) = SSOR visits.  Returns (x, btx of the last sweep)."""
+    btx = None
+    for d, order in enumerate(orders):
+        if noise:
+            xi_lr_d = xi_lr_ref[..., d * m:(d + 1) * m] if m else None
+            c = _noisy_rhs(f, x, ns_ref, xi_lr_d, B_ref, m, dim)
+        else:
+            c = f
+        x = _sweep_body(coeffs, c, x, order=order, **params)
+        if m:
+            btx = [_reduce_spatial(x * B_ref[k][None], dim) for k in range(m)]
+            for l in range(m):
+                x = x - btx[l] * Bbar_ref[d * m + l][None]
+    return x, btx
 
 
 def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict):
     dim = len(params["offsets"][0])
+    orders = params["orders"]
+    base_params = {k: v for k, v in params.items() if k != "orders"}
 
     def kernel(*refs):
         it = iter(refs)
@@ -186,23 +201,17 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict):
         x = x_ref[:]
         vshape = x.shape[-dim:]
 
-        c = _noisy_rhs(f, x, ns_ref, xi_lr_ref, B_ref, m, dim) if noise else f
-        x = _sweep_body(coeffs, c, x, **params)
-        btx = None
-        if m:
-            # Woodbury inline so btx is reusable for the residual below
-            btx = [_reduce_spatial(x * B_ref[k][None], dim) for k in range(m)]
-            for l in range(m):
-                x = x - btx[l] * Bbar_ref[l][None]
+        x, btx = _sweeps(coeffs, x, f, base_params, orders, m, noise, ns_ref,
+                         xi_lr_ref, B_ref, Bbar_ref, dim)
         xout_ref[:] = x
 
         # residual r = f - A x  (full operator incl. low-rank term)
         iotas = [jax.lax.broadcasted_iota(jnp.int32, vshape, d) for d in range(dim)]
-        r = f - _apply_stencil(coeffs, x, params["offsets"], iotas, vshape)
+        r = f - _apply_stencil(coeffs, x, base_params["offsets"], iotas, vshape)
         if m:
-            # B^T x' after the Woodbury correction without re-reducing the
-            # full fields: B^T(x - Bbar btx) = (I - G) btx with the
-            # precomputed m x m Gram matrix G[k,l] = <B_k, Bbar_l>
+            # B^T x' after the LAST Woodbury correction without re-reducing
+            # the full fields: B^T(x - Bbar btx) = (I - G) btx with the
+            # precomputed m x m Gram matrix G[k,l] = <B_k, Bbar_last_l>
             for k in range(m):
                 btx2 = btx[k]
                 for l in range(m):
@@ -229,6 +238,8 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict):
 def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
                         fuse_prolongate):
     dim = len(params["offsets"][0])
+    orders = params["orders"]
+    base_params = {k: v for k, v in params.items() if k != "orders"}
 
     def kernel(*refs):
         it = iter(refs)
@@ -265,10 +276,8 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
             # 3d variant: P x_c computed outside, xc_ref holds the fine-size px
             x = x + coarse_scaling * xc_ref[:]
 
-        c = _noisy_rhs(f, x, ns_ref, xi_lr_ref, B_ref, m, dim_) if noise else f
-        x = _sweep_body(coeffs, c, x, **params)
-        if m:
-            x = _woodbury(x, B_ref, Bbar_ref, m, dim_)
+        x, _ = _sweeps(coeffs, x, f, base_params, orders, m, noise, ns_ref,
+                       xi_lr_ref, B_ref, Bbar_ref, dim_)
         xout_ref[:] = x
 
     return kernel
@@ -296,12 +305,12 @@ def _block_seeds(key, nblocks):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "diag_index", "omega", "order", "color_weights",
+    static_argnames=("offsets", "diag_index", "omega", "orders", "color_weights",
                      "n_colors", "noise", "fuse_restrict", "interpret"),
 )
 def descend_visit(
     key, coeffs, noise_scale, B, Bbar, sinv, Rh, RwT, f, x, *,
-    offsets, diag_index, omega, order, color_weights, n_colors,
+    offsets, diag_index, omega, orders, color_weights, n_colors,
     noise=True, fuse_restrict=True, interpret=False,
 ):
     """One fused descend visit.  Returns ``(x_new, f_coarse)`` - or
@@ -309,7 +318,10 @@ def descend_visit(
     restriction needs relayouts in-kernel, so it stays outside).
 
     ``f`` has shape ``(*v)`` (shared across chains) or ``(C, *v)``; ``x`` is
-    ``(C, *v)``.  ``noise_scale`` is the field ``sqrt(D (2-omega)/omega)``;
+    ``(C, *v)``.  ``orders`` is a tuple of colour orders - one directed sweep
+    per entry (one = SOR visits, (forward, backward) = SSOR visits), with
+    ``Bbar`` holding ``len(orders) * m`` stacked Woodbury fields.
+    ``noise_scale`` is the field ``sqrt(D (2-omega)/omega)``;
     ``B``/``Bbar``/``sinv`` are ``None`` for operators without a low-rank term
     (``sinv`` = ``Sigma^{-1/2}-scaled`` is split: pass ``(lr_scale, sigma_inv)``
     - see FusedVisitLevel).  With ``noise=False`` the kernel runs the purely
@@ -318,6 +330,7 @@ def descend_visit(
     dim = len(offsets[0])
     C, vshape = x.shape[0], x.shape[1:]
     m = 0 if B is None else B.shape[0]
+    n_dirs = len(orders)
     nk = coeffs.shape[0]
     plane = _padded_plane(vshape)
     if fuse_restrict:
@@ -328,8 +341,8 @@ def descend_visit(
         r_bytes = 0
     fc_plane = _padded_plane(vc)
     f_batched = f.ndim == x.ndim
-    resident = (nk + (1 if noise else 0) + 2 * m + (0 if f_batched else 1)) * plane \
-        + r_bytes
+    resident = (nk + (1 if noise else 0) + (1 + n_dirs) * m
+                + (0 if f_batched else 1)) * plane + r_bytes
     per_chain = (_PLANES_PER_CHAIN + (1 if f_batched else 0)) * plane + fc_plane
     bc = _pick_bc(C, resident, per_chain)
     if bc is None:
@@ -338,7 +351,7 @@ def descend_visit(
     zeros = (0,) * dim
 
     params = dict(offsets=offsets, diag_index=diag_index, omega=omega,
-                  order=order, color_weights=color_weights, n_colors=n_colors)
+                  orders=orders, color_weights=color_weights, n_colors=n_colors)
 
     args = []
     in_specs = []
@@ -352,13 +365,15 @@ def descend_visit(
         )
         if m:
             lr_scale, sinv, G = sinv
-            # shaped (C, 1, .., 1, m) so the block's trailing dims equal the
-            # array dims (Mosaic tiling rule); sliced (bc,1,..,1) in-kernel
-            xi_lr = (jax.random.normal(klr, (C, m), x.dtype) * lr_scale
-                     ).reshape((C,) + (1,) * (dim - 1) + (m,))
+            # one (C, m) draw per directed sweep, shaped (C, 1, .., 1,
+            # n_dirs * m) so the block's trailing dims equal the array dims
+            # (Mosaic tiling rule); sliced (bc, 1, .., 1) in-kernel
+            xi_lr = (jax.random.normal(klr, (C, n_dirs * m), x.dtype)
+                     * jnp.tile(lr_scale, n_dirs)
+                     ).reshape((C,) + (1,) * (dim - 1) + (n_dirs * m,))
             args.append(xi_lr)
             in_specs.append(
-                pl.BlockSpec((bc,) + (1,) * (dim - 1) + (m,),
+                pl.BlockSpec((bc,) + (1,) * (dim - 1) + (n_dirs * m,),
                              lambda i: (i,) + (0,) * dim,
                              memory_space=pltpu.VMEM)
             )
@@ -383,7 +398,7 @@ def descend_visit(
     if m:
         args.extend([B, Bbar, sinv.reshape(1, m), G])
         in_specs.extend([
-            resident_spec(m), resident_spec(m),
+            resident_spec(m), resident_spec(n_dirs * m),
             # scalars want a 2d SMEM layout (Mosaic rejects rank-1 f32 SMEM)
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -432,28 +447,31 @@ def descend_visit(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "diag_index", "omega", "order", "color_weights",
+    static_argnames=("offsets", "diag_index", "omega", "orders", "color_weights",
                      "n_colors", "coarse_scaling", "noise", "fuse_prolongate",
                      "interpret"),
 )
 def ascend_visit(
     key, coeffs, noise_scale, B, Bbar, lr_scale, RhT, Rw, f, x, x_coarse, *,
-    offsets, diag_index, omega, order, color_weights, n_colors,
+    offsets, diag_index, omega, orders, color_weights, n_colors,
     coarse_scaling=1.0, noise=True, fuse_prolongate=True, interpret=False,
 ):
-    """One fused ascend visit: ``x += gamma P x_c`` then one backward Gibbs
-    sweep (+ Woodbury).  Returns the new x.  With ``fuse_prolongate=False``
+    """One fused ascend visit: ``x += gamma P x_c`` then the post Gibbs
+    sweep(s) (+ Woodbury per sweep; ``orders``/stacked ``Bbar`` as in
+    descend_visit).  Returns the new x.  With ``fuse_prolongate=False``
     ``x_coarse`` must hold the already-prolongated fine-size field ``P x_c``
     (3d path)."""
     dim = len(offsets[0])
     C, vshape = x.shape[0], x.shape[1:]
     m = 0 if B is None else B.shape[0]
+    n_dirs = len(orders)
     nk = coeffs.shape[0]
     plane = _padded_plane(vshape)
     vc = x_coarse.shape[1:]
     fc_plane = _padded_plane(vc)
     f_batched = f.ndim == x.ndim
-    resident = (nk + (1 if noise else 0) + 2 * m + (0 if f_batched else 1)) * plane \
+    resident = (nk + (1 if noise else 0) + (1 + n_dirs) * m
+                + (0 if f_batched else 1)) * plane \
         + (4 * (RhT.size + Rw.size) if fuse_prolongate else 0)
     per_chain = (_PLANES_PER_CHAIN + (1 if f_batched else 0)) * plane + fc_plane
     bc = _pick_bc(C, resident, per_chain)
@@ -463,7 +481,7 @@ def ascend_visit(
     zeros = (0,) * dim
 
     params = dict(offsets=offsets, diag_index=diag_index, omega=omega,
-                  order=order, color_weights=color_weights, n_colors=n_colors)
+                  orders=orders, color_weights=color_weights, n_colors=n_colors)
 
     args = []
     in_specs = []
@@ -476,11 +494,12 @@ def ascend_visit(
             pl.BlockSpec((nblocks * nw,), lambda i: (0,), memory_space=pltpu.SMEM)
         )
         if m:
-            xi_lr = (jax.random.normal(klr, (C, m), x.dtype) * lr_scale
-                     ).reshape((C,) + (1,) * (dim - 1) + (m,))
+            xi_lr = (jax.random.normal(klr, (C, n_dirs * m), x.dtype)
+                     * jnp.tile(lr_scale, n_dirs)
+                     ).reshape((C,) + (1,) * (dim - 1) + (n_dirs * m,))
             args.append(xi_lr)
             in_specs.append(
-                pl.BlockSpec((bc,) + (1,) * (dim - 1) + (m,),
+                pl.BlockSpec((bc,) + (1,) * (dim - 1) + (n_dirs * m,),
                              lambda i: (i,) + (0,) * dim,
                              memory_space=pltpu.VMEM)
             )
@@ -500,7 +519,7 @@ def ascend_visit(
         in_specs.append(resident_spec(1))
     if m:
         args.extend([B, Bbar])
-        in_specs.extend([resident_spec(m), resident_spec(m)])
+        in_specs.extend([resident_spec(m), resident_spec(n_dirs * m)])
     if fuse_prolongate:
         args.extend([RhT, Rw])
         in_specs.extend([
@@ -553,14 +572,38 @@ def supports_visit(vshape, dtype, n_offsets, m, nchains) -> Optional[int]:
     return _pick_bc(nchains, resident, per_chain)
 
 
+def _sweep_spec(obj):
+    """Normalise a smoother/sampler object into the fused-visit sweep spec
+    ``(orders, Bbar_stacked, coloring, omega)``, or None if unsupported.
+
+    Handles SORSmoother (one directed sweep), SSORSmoother (forward +
+    backward), and the samplers wrapping them (SORSampler / SSORSampler)."""
+    if hasattr(obj, "smoother"):  # SORSampler
+        return _sweep_spec(obj.smoother) if obj.nsmooth == 1 else None
+    if hasattr(obj, "order"):  # SORSmoother
+        if obj.nsmooth != 1:
+            return None
+        return (obj.order,), obj.B_bar, obj.coloring, obj.omega
+    if hasattr(obj, "forward"):  # SSORSmoother / SSORSampler
+        if obj.nsmooth != 1:
+            return None
+        f = _sweep_spec(obj.forward)
+        b = _sweep_spec(obj.backward)
+        if f is None or b is None:
+            return None
+        Bbar = None if f[1] is None else jnp.concatenate([f[1], b[1]], axis=0)
+        return f[0] + b[0], Bbar, f[2], f[3]
+    return None
+
+
 def fused_levels_for(operators, presmoothers, postsmoothers, coarse_scaling,
                      min_vertices, interpret=False):
     """Shared gating + construction of per-level fused visit kernels.
 
-    ``presmoothers``/``postsmoothers`` are the SORSmoother objects per level
-    (the MGMC sampler passes its samplers' ``.smoother``).  Enabled by default
-    on a single TPU device (``MGMC_FUSED=0`` disables, ``=1`` forces); levels
-    below ``min_vertices`` or unsupported shapes stay on the composed path.
+    ``presmoothers``/``postsmoothers`` are SOR/SSOR smoother (or sampler)
+    objects per level.  Enabled by default on a single TPU device
+    (``MGMC_FUSED=0`` disables, ``=1`` forces); levels below ``min_vertices``
+    or unsupported shapes stay on the composed path.
     """
     flag = os.environ.get("MGMC_FUSED", "auto")
     if flag == "0":
@@ -574,10 +617,9 @@ def fused_levels_for(operators, presmoothers, postsmoothers, coarse_scaling,
     levels = {}
     for level in range(len(operators) - 1):
         op = operators[level]
-        pre, post = presmoothers[level], postsmoothers[level]
-        if not (hasattr(pre, "order") and hasattr(post, "order")):
-            continue  # SSOR or nsmooth-wrapped smoothers: composed path
-        if pre.nsmooth != 1 or post.nsmooth != 1:
+        pre = _sweep_spec(presmoothers[level])
+        post = _sweep_spec(postsmoothers[level])
+        if pre is None or post is None:
             continue
         if op.lattice.nvertex < min_vertices:
             continue
@@ -585,8 +627,8 @@ def fused_levels_for(operators, presmoothers, postsmoothers, coarse_scaling,
                           op.m_lowrank, 16) is None:
             continue
         levels[level] = FusedVisitLevel(
-            op, pre.coloring, pre.omega, pre.order, post.order,
-            pre.B_bar, post.B_bar, coarse_scaling, interpret=interpret,
+            op, pre[2], pre[3], pre[0], post[0],
+            pre[1], post[1], coarse_scaling, interpret=interpret,
         )
     return levels
 
@@ -597,9 +639,19 @@ class FusedVisitLevel:
     holds no jax tracers (all arrays are constants closed over by the jitted
     wrappers)."""
 
-    def __init__(self, op, coloring, omega, order_fwd, order_bwd,
-                 Bbar_fwd, Bbar_bwd, coarse_scaling, interpret=False):
+    def __init__(self, op, coloring, omega, pre_orders, post_orders,
+                 Bbar_pre, Bbar_post, coarse_scaling, interpret=False):
+        """``pre_orders``/``post_orders``: tuple of colour orders - one
+        directed sweep per entry (SOR: one; SSOR: (forward, backward)) - with
+        ``Bbar_pre``/``Bbar_post`` holding the matching stacked
+        ``len(orders) * m`` Woodbury fields (or None without low rank).
+        Single orders/plain Bbar are accepted and wrapped."""
         from ..intergrid import _restrict_matrix_1d
+
+        if pre_orders and not isinstance(pre_orders[0], tuple):
+            pre_orders = (pre_orders,)
+        if post_orders and not isinstance(post_orders[0], tuple):
+            post_orders = (post_orders,)
 
         self.op = op
         self.omega = float(omega)
@@ -623,34 +675,43 @@ class FusedVisitLevel:
             op.diag_stencil() * ((2.0 - self.omega) / self.omega)
         )
         if op.lowrank is not None:
+            m = op.m_lowrank
+
+            def stack(bb, n):
+                bb = jnp.asarray(bb)
+                return bb if bb.shape[0] == n * m else jnp.concatenate(
+                    [bb] * n, axis=0)
+
             self.B = op.lowrank.B
-            self.Bbar_fwd = Bbar_fwd
-            self.Bbar_bwd = Bbar_bwd
+            self.Bbar_pre = stack(Bbar_pre, len(pre_orders))
+            self.Bbar_post = stack(Bbar_post, len(post_orders))
             self.lr_scale = 1.0 / jnp.sqrt(op.lowrank.Sigma_diag)
             self.sigma_inv = 1.0 / op.lowrank.Sigma_diag
-            # Gram matrix for the kernel's (I - G) btx residual shortcut
-            self.G_fwd = jnp.einsum(
-                "k...,l...->kl", self.B, Bbar_fwd,
+            # Gram matrix for the kernel's (I - G) btx residual shortcut,
+            # against the LAST pre-sweep's Bbar (that is the correction the
+            # residual sees)
+            self.G_pre = jnp.einsum(
+                "k...,l...->kl", self.B, self.Bbar_pre[-m:],
                 precision=jax.lax.Precision.HIGHEST)
         else:
-            self.B = self.Bbar_fwd = self.Bbar_bwd = None
+            self.B = self.Bbar_pre = self.Bbar_post = None
             self.lr_scale = self.sigma_inv = None
         self._statics = dict(
             offsets=op.offsets, diag_index=op.diag_index, omega=self.omega,
             color_weights=coloring.weights, n_colors=coloring.n_colors,
             interpret=self.interpret,
         )
-        self.order_fwd = order_fwd
-        self.order_bwd = order_bwd
+        self.pre_orders = pre_orders
+        self.post_orders = post_orders
 
     def descend(self, key, f, x, noise=True):
         """Returns (x, f_coarse) when transfers are fused, else (x, r)."""
         sinv = None if self.B is None else (
-            self.lr_scale, self.sigma_inv, self.G_fwd)
+            self.lr_scale, self.sigma_inv, self.G_pre)
         return descend_visit(
-            key, self.op.coeffs, self.noise_scale, self.B, self.Bbar_fwd,
+            key, self.op.coeffs, self.noise_scale, self.B, self.Bbar_pre,
             sinv, self.Rh, self.RwT, f, x,
-            order=self.order_fwd, noise=noise,
+            orders=self.pre_orders, noise=noise,
             fuse_restrict=self.fuse_transfers, **self._statics,
         )
 
@@ -658,8 +719,8 @@ class FusedVisitLevel:
         """``x_coarse`` is the coarse field when transfers are fused, else
         the already-prolongated fine-size ``P x_c``."""
         return ascend_visit(
-            key, self.op.coeffs, self.noise_scale, self.B, self.Bbar_bwd,
+            key, self.op.coeffs, self.noise_scale, self.B, self.Bbar_post,
             self.lr_scale, self.RhT, self.Rw, f, x, x_coarse,
-            order=self.order_bwd, coarse_scaling=self.coarse_scaling,
+            orders=self.post_orders, coarse_scaling=self.coarse_scaling,
             noise=noise, fuse_prolongate=self.fuse_transfers, **self._statics,
         )

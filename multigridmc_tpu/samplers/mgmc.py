@@ -125,15 +125,14 @@ class MultigridMCSampler(Sampler):
         """
         self.fused_levels = {}
         self.subtree = None
-        # one fused kernel call = exactly one sweep per visit
-        if smoother != "SOR" or npresmooth != 1 or npostsmooth != 1:
+        self._smoother_name = smoother
+        # one fused kernel call = one visit (SOR: 1 sweep, SSOR: fwd+bwd)
+        if smoother not in ("SOR", "SSOR") or npresmooth != 1 or npostsmooth != 1:
             return
         from ..ops.kernels.mgmc_visit_pallas import fused_levels_for
 
         self.fused_levels = fused_levels_for(
-            self.hierarchy.operators,
-            [p.smoother for p in self.presamplers],
-            [p.smoother for p in self.postsamplers],
+            self.hierarchy.operators, self.presamplers, self.postsamplers,
             self.coarse_scaling, MIN_FUSED_VERTICES,
         )
         self._build_subtree()
@@ -153,7 +152,8 @@ class MultigridMCSampler(Sampler):
             return
         if not self.fused_levels:
             return  # fused gating (backend/device/flag checks) said no
-        if self.nlevel < 3 or not isinstance(self.coarse_sampler, DenseCholeskySampler):
+        if self._smoother_name != "SOR" or self.nlevel < 3 or not isinstance(
+                self.coarse_sampler, DenseCholeskySampler):
             return
         sub_ops = self.hierarchy.operators[1:]
         if any(len(op.vshape) != 2 or op.coeffs.dtype != jnp.float32

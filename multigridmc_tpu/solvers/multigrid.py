@@ -89,7 +89,7 @@ class MultigridPreconditioner:
         # with noise disabled (same gating as the MGMC sampler: batched rhs on
         # a single TPU device, large-enough SOR levels).
         self.fused_levels = {}
-        if smoother == "SOR" and npresmooth == 1 and npostsmooth == 1:
+        if smoother in ("SOR", "SSOR") and npresmooth == 1 and npostsmooth == 1:
             from ..samplers.mgmc import MIN_FUSED_VERTICES
             from ..ops.kernels.mgmc_visit_pallas import fused_levels_for
 

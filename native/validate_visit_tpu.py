@@ -128,6 +128,28 @@ exp_a3 = jax.jit(post3.apply)(f3, prolongate_add(0.75, xc3, x3, dim=3))
 ea3 = float(jnp.max(jnp.abs(out_a3 - exp_a3)))
 check("3d ascend exactness", ea3 < 2e-3, f"max|dx|={ea3:.2e}")
 
+# ------------------------------------------------------ 1c. SSOR exactness
+from multigridmc_tpu.smoothers import SSORSmoother
+
+op_s = build(256, True)
+ssor = SSORSmoother(op_s, 0.9, 1)
+f_sm, b_sm = ssor.forward, ssor.backward
+Bbar_s = jnp.concatenate([f_sm.B_bar, b_sm.B_bar], axis=0)
+fused_s = FusedVisitLevel(op_s, f_sm.coloring, 0.9,
+                          (f_sm.order, b_sm.order), (f_sm.order, b_sm.order),
+                          Bbar_s, Bbar_s, 0.75)
+rngs = np.random.default_rng(13)
+fs = jnp.asarray(rngs.normal(size=op_s.vshape), jnp.float32)
+xs = jnp.asarray(rngs.normal(size=(8,) + op_s.vshape), jnp.float32)
+out_xs, out_fcs = jax.jit(lambda f, x: fused_s.descend(
+    jax.random.key(0), f, x, noise=False))(fs, xs)
+exp_xs = jax.jit(ssor.apply)(fs, xs)
+exp_fcs = restrict(fs - op_s.apply(exp_xs), dim=2)
+exs = float(jnp.max(jnp.abs(out_xs - exp_xs)))
+efs = float(jnp.max(jnp.abs(out_fcs - exp_fcs)))
+check("SSOR descend exactness", exs < 2e-4 and efs < 2e-4,
+      f"max|dx|={exs:.2e} max|dfc|={efs:.2e}")
+
 # ------------------------------------------------------------ 2. noise moments
 op = build(256, False)
 pre, post, fused = fused_for(op)
@@ -271,6 +293,50 @@ ec3 = np.max(np.abs(cov3 - cov_exact3))
 # blow well past this
 check("3d fused MGMC mean", em3 < 1.2e-2, f"maxerr={em3:.2e} ({total3} samples)")
 check("3d fused MGMC cov", ec3 < 1.5e-2, f"maxerr={ec3:.2e}")
+
+# ------------------------------------------------ 3c. SSOR fused statistics
+op_ss = build(16, True, nmeas=4, var=1e-2)
+nss = op_ss.lattice.nvertex
+rng_ss = np.random.default_rng(4)
+mean_exact_ss = rng_ss.uniform(size=nss)
+Qss = np.asarray(op_ss.to_dense(), dtype=np.float64)
+fss = jnp.asarray((Qss @ mean_exact_ss).reshape(op_ss.vshape), jnp.float32)
+cov_exact_ss = np.linalg.inv(Qss)
+sampler_ss = mgmc_mod.MultigridMCSampler(
+    op_ss, nlevel=2, smoother="SSOR", coarse_solver="Cholesky", omega=1.0,
+    cycle=1)
+assert sampler_ss.fused_levels, "SSOR fused levels not built"
+Css, nsteps_ss, nwarm_ss = 512, 1500, 100
+
+
+def run_ss(x, key, nsteps):
+    def step(x, k):
+        return sampler_ss.apply(jax.random.fold_in(key, k), fss, x), 0.0
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(nsteps))
+    return x
+
+
+x = jax.jit(run_ss, static_argnums=2)(
+    jnp.zeros((Css,) + op_ss.vshape, jnp.float32), sampling_key(7), nwarm_ss)
+sx = np.zeros(nss)
+sxx = np.zeros((nss, nss))
+stepj_ss = jax.jit(lambda x, k: sampler_ss.apply(k, fss, x))
+key_ss = sampling_key(8)
+for i in range(nsteps_ss):
+    x = stepj_ss(x, jax.random.fold_in(key_ss, i))
+    xf = np.asarray(x, dtype=np.float64).reshape(Css, nss)
+    sx += xf.sum(axis=0)
+    sxx += xf.T @ xf
+total_ss = Css * nsteps_ss
+Ex_ss = sx / total_ss
+cov_ss = sxx / total_ss - np.outer(Ex_ss, Ex_ss)
+em_ss = np.max(np.abs(Ex_ss - mean_exact_ss))
+ec_ss = np.max(np.abs(cov_ss - cov_exact_ss))
+# SSOR mixes faster than single SOR; same calibration logic as gate 3
+check("SSOR fused MGMC mean", em_ss < 2.5e-3,
+      f"maxerr={em_ss:.2e} ({total_ss} samples)")
+check("SSOR fused MGMC cov", ec_ss < 2.5e-3, f"maxerr={ec_ss:.2e}")
 
 print("ALL PASS" if ok else "FAILURES", flush=True)
 sys.exit(0 if ok else 1)

@@ -222,3 +222,41 @@ def test_subtree_kernel_matches_composed():
     exp = composed(0, f)
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("lowrank", [False, True], ids=["prior", "posterior"])
+def test_ssor_visits_match_composed(lowrank):
+    """SSOR visits = two directed sweeps per fused kernel call (orders
+    tuple + stacked Woodbury fields)."""
+    from multigridmc_tpu.smoothers import SSORSmoother
+
+    op, _, _, _ = _setup(lowrank=lowrank)
+    ssor = SSORSmoother(op, 0.9, 1)
+    f_sm, b_sm = ssor.forward, ssor.backward
+    Bbar = None
+    if op.lowrank is not None:
+        Bbar = jnp.concatenate([f_sm.B_bar, b_sm.B_bar], axis=0)
+    fused = FusedVisitLevel(
+        op, f_sm.coloring, 0.9, (f_sm.order, b_sm.order),
+        (f_sm.order, b_sm.order), Bbar, Bbar, coarse_scaling=0.75,
+        interpret=True,
+    )
+    rng = np.random.default_rng(9)
+    C = 4
+    f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + op.vshape), jnp.float32)
+
+    out_x, out_fc = fused.descend(jax.random.key(0), f, x, noise=False)
+    exp_x = ssor.apply(f, x)
+    exp_fc = restrict(f - op.apply(exp_x), dim=2)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(exp_x),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_fc), np.asarray(exp_fc),
+                               rtol=2e-5, atol=2e-5)
+
+    vc = tuple(m // 2 for m in op.vshape)
+    xc = jnp.asarray(rng.normal(size=(C,) + vc), jnp.float32)
+    out_a = fused.ascend(jax.random.key(0), f, x, xc, noise=False)
+    exp_a = ssor.apply(f, prolongate_add(0.75, xc, x, dim=2))
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(exp_a),
+                               rtol=2e-5, atol=2e-5)
