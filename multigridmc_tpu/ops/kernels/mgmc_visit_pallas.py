@@ -60,8 +60,8 @@ _HI = jax.lax.Precision.HIGHEST
 #: The chip has ~128 MB VMEM but Mosaic's default scoped limit is 16 MB
 #: (probed on v5e: 2x56 MB blocks compile with vmem_limit_bytes raised);
 #: the visit kernels raise the limit and budget conservatively.
-_VMEM_LIMIT = 96 * 1024 * 1024
-_VMEM_BUDGET = 84 * 1024 * 1024
+_VMEM_LIMIT = 112 * 1024 * 1024
+_VMEM_BUDGET = 96 * 1024 * 1024
 #: measured Mosaic stack usage per chain in the visit kernels: ~14 padded
 #: planes of temporaries (noise, sweep phases, residual) on top of the
 #: in/out blocks - budget 16 planes per chain
@@ -567,7 +567,8 @@ def supports_visit(vshape, dtype, n_offsets, m, nchains) -> Optional[int]:
     if len(vshape) not in (2, 3) or jnp.dtype(dtype) != jnp.float32:
         return None
     plane = _padded_plane(vshape)
-    resident = (n_offsets + 2 + 2 * m) * plane + 8 * plane  # R mats upper bound
+    # matches the wrappers' accounting (the banded R matrices are tiny)
+    resident = (n_offsets + 2 + 2 * m) * plane + plane
     per_chain = _PLANES_PER_CHAIN * plane + plane
     return _pick_bc(nchains, resident, per_chain)
 
