@@ -175,6 +175,7 @@ def measure_baseline_main(argv=None):
 
     import bench  # repo-root bench module defines the canonical problem
 
+    bench.NX = nx  # build_problem reads the module constant at call time
     op = bench.build_problem(dtype=np.float64)
     from ..solvers.multigrid import MultigridHierarchy
 
