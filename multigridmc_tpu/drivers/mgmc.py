@@ -105,6 +105,12 @@ def measure_sampling_time(label, sampler, op, config, f, sample_vec, xbar, y, fi
         n = min(512, sp.nwarmup - done)
         x, _ = chain_j(x, jnp.int32(done), n)
         done += n
+    # pre-compile every chunk length the timed loop will use (each distinct
+    # static n is a separate XLA program; compiling inside the timed region
+    # would pollute the per-sample figure) - run them on a throwaway state
+    # with far-offset keys so the real chain stream is untouched
+    for n in {min(512, sp.nsamples), sp.nsamples % 512 or 512}:
+        jax.block_until_ready(chain_j(x, jnp.int32(sp.nwarmup + sp.nsamples + 10_000), n))
     jax.block_until_ready(x)
 
     data = np.empty(sp.nsamples)

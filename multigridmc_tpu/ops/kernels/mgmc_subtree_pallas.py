@@ -31,6 +31,7 @@ every other configuration stays on the composed XLA path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,24 +49,16 @@ from .mgmc_visit_pallas import (
     _mm,
     _normals,
     _padded_plane,
+    _pick_bc,
     _reduce_spatial,
 )
+from .sor_pallas_v2 import _sweep_body
 
 #: sub-level fields are small, so the block size trades VMEM for per-op
 #: parallel width: op overhead dominates tiny shapes, and fewer/wider blocks
 #: amortise it (unlike the finest-level visit kernels, whose streaming
 #: pipeline prefers bc=8)
-_SUBTREE_BC_MAX = int(__import__("os").environ.get("MGMC_SUBTREE_BC_MAX", "32"))
-
-
-def _pick_bc_subtree(C, resident, per_chain, budget=_VMEM_BUDGET):
-    for bc in (64, 32, 16, 8, 4, 2, 1):
-        if bc > _SUBTREE_BC_MAX:
-            continue
-        if C % bc == 0 and resident + bc * per_chain <= budget:
-            return bc
-    return None
-from .sor_pallas_v2 import _sweep_body
+_SUBTREE_BC_MAX = int(os.environ.get("MGMC_SUBTREE_BC_MAX", "32"))
 
 
 def _level_noise(f, shape, ns_ref, B_ref, xi_slice, m, dim):
@@ -108,7 +101,7 @@ def _slot_bases(levels, cycle):
     return tuple(bases), base
 
 
-def _make_subtree_kernel(*, levels, cycle, coarse_n, n_seed_words, noise, bc):
+def _make_subtree_kernel(*, levels, cycle, n_seed_words, noise, bc):
     """levels: tuple of per-level static dicts (finest sub-level first)."""
     dim = 2
     slot_bases, _ = _slot_bases(levels, cycle)
@@ -263,7 +256,7 @@ def subtree_sample(key, arrays, Linv, LinvT, xi_scales, f, *, levels, cycle,
         plane = _padded_plane(lv["vshape"])
         resident += (lv["nk"] + 1 + 3 * lv["m"]) * plane
         per_chain += 20 * plane
-    bc = _pick_bc_subtree(C, resident, per_chain)
+    bc = _pick_bc(C, resident, per_chain, bc_max=_SUBTREE_BC_MAX)
     if bc is None:
         raise ValueError("subtree kernel does not fit VMEM")
     nblocks = C // bc
@@ -327,7 +320,7 @@ def subtree_sample(key, arrays, Linv, LinvT, xi_scales, f, *, levels, cycle,
     )
 
     kern = _make_subtree_kernel(
-        levels=levels, cycle=cycle, coarse_n=coarse_n, n_seed_words=nw,
+        levels=levels, cycle=cycle, n_seed_words=nw,
         noise=noise, bc=bc,
     )
     return pl.pallas_call(
@@ -413,8 +406,6 @@ class SubtreeKernel:
         self.Linv = jnp.asarray(Linv, dtype=jnp.float32)
         # split transpose for the fold-flatten contraction in the kernel:
         # LinvT3[h] = Linv[:, h*wc:(h+1)*wc].T, shape (hc, wc, n)
-        hc, wc = hc_wc = tuple(
-            (m + 1) // 2 for m in operators[-2].vshape) if len(operators) > 1             else operators[-1].vshape
         hc, wc = operators[-1].vshape
         self.LinvT = jnp.asarray(
             Linv.T.reshape(hc, wc, n), dtype=jnp.float32)

@@ -289,9 +289,11 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
 _BC_MAX = int(os.environ.get("MGMC_VISIT_BC_MAX", "8"))
 
 
-def _pick_bc(C, resident_bytes, per_chain_bytes, budget=_VMEM_BUDGET):
+def _pick_bc(C, resident_bytes, per_chain_bytes, budget=_VMEM_BUDGET,
+             bc_max=None):
+    bc_max = _BC_MAX if bc_max is None else bc_max
     for bc in (64, 32, 16, 8, 4, 2, 1):
-        if bc > _BC_MAX:
+        if bc > bc_max:
             continue
         if C % bc == 0 and resident_bytes + bc * per_chain_bytes <= budget:
             return bc
@@ -559,16 +561,17 @@ def ascend_visit(
     )(*args)
 
 
-def supports_visit(vshape, dtype, n_offsets, m, nchains) -> Optional[int]:
+def supports_visit(vshape, dtype, n_offsets, m, nchains, n_dirs=1) -> Optional[int]:
     """Whether the fused visit kernels handle this level; returns the chain
     block size bc, or None.  2d and 3d float32 (3d without in-kernel
     transfers); the level's resident fields and one chain block of kernel
-    temporaries must fit VMEM."""
+    temporaries must fit VMEM.  ``n_dirs`` = sweeps per visit (2 for SSOR:
+    the stacked B_bar fields grow the resident set)."""
     if len(vshape) not in (2, 3) or jnp.dtype(dtype) != jnp.float32:
         return None
     plane = _padded_plane(vshape)
     # matches the wrappers' accounting (the banded R matrices are tiny)
-    resident = (n_offsets + 2 + 2 * m) * plane + plane
+    resident = (n_offsets + 2 + (1 + n_dirs) * m) * plane + plane
     per_chain = _PLANES_PER_CHAIN * plane + plane
     return _pick_bc(nchains, resident, per_chain)
 
@@ -625,7 +628,7 @@ def fused_levels_for(operators, presmoothers, postsmoothers, coarse_scaling,
         if op.lattice.nvertex < min_vertices:
             continue
         if supports_visit(op.vshape, op.coeffs.dtype, len(op.offsets),
-                          op.m_lowrank, 16) is None:
+                          op.m_lowrank, 16, n_dirs=len(pre[0])) is None:
             continue
         levels[level] = FusedVisitLevel(
             op, pre[2], pre[3], pre[0], post[0],
@@ -679,9 +682,14 @@ class FusedVisitLevel:
             m = op.m_lowrank
 
             def stack(bb, n):
+                # the Woodbury factor is DIRECTION-dependent: silently tiling
+                # one direction's B_bar across sweeps would bias the sampler,
+                # so require the caller to pass exactly n * m stacked fields
                 bb = jnp.asarray(bb)
-                return bb if bb.shape[0] == n * m else jnp.concatenate(
-                    [bb] * n, axis=0)
+                if bb.shape[0] != n * m:
+                    raise ValueError(
+                        f"B_bar must stack {n} x {m} fields, got {bb.shape[0]}")
+                return bb
 
             self.B = op.lowrank.B
             self.Bbar_pre = stack(Bbar_pre, len(pre_orders))

@@ -5,12 +5,13 @@ W-cycle): descend visit (Gibbs presweep + residual + restrict) and ascend
 visit (prolongate_add + Gibbs postsweep), fused vs composed; then the full
 MGMC step both ways.  Control re-timed at the end.
 
-Usage: python native/micro/bench_visit.py [nchains ...]
+Usage: python native/micro/bench_visit.py [nchains [min_extent]]
 """
 import os
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import numpy as np
 
