@@ -260,3 +260,25 @@ def test_ssor_visits_match_composed(lowrank):
     exp_a = ssor.apply(f, prolongate_add(0.75, xc, x, dim=2))
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(exp_a),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_supports_visit_ssor_accounting_and_bbar_strictness():
+    """The VMEM gate must count (1 + n_dirs) * m resident Woodbury planes,
+    and FusedVisitLevel must reject mis-sized B_bar stacks rather than
+    silently tiling one direction's factor."""
+    from multigridmc_tpu.ops.kernels.mgmc_visit_pallas import supports_visit
+
+    # near the budget edge, SSOR (n_dirs=2) must be stricter than SOR
+    v = (511, 511)
+    bc_sor = supports_visit(v, jnp.float32, 5, 8, 16, n_dirs=1)
+    bc_ssor = supports_visit(v, jnp.float32, 5, 8, 16, n_dirs=2)
+    assert bc_sor is not None
+    assert bc_ssor is None or bc_ssor <= bc_sor
+
+    op, pre, post, _ = _setup(lowrank=True)
+    with pytest.raises(ValueError, match="B_bar must stack"):
+        FusedVisitLevel(
+            op, pre.coloring, 1.0, (pre.order, post.order),
+            (pre.order, post.order), pre.B_bar, post.B_bar,  # not stacked
+            coarse_scaling=1.0, interpret=True,
+        )
