@@ -1,7 +1,8 @@
 """On-TPU statistical validation of the flagship MGMC configuration.
 
-Runs the bench problem (2d 256x256 posterior, 6-level W-cycle, float32, fused
-Pallas sweeps on the fine levels) with batched chains on the TPU and compares
+Runs the bench problem (2d 256x256 posterior, 5-level W-cycle, float32, the
+fused level-visit Pallas kernels on the finest level) with batched chains on
+the TPU and compares
 the observed mean and variance of a point observation z = w^T x against the
 exact posterior values computed on the host in float64 - the same oracle as
 ``measure_sampling_time`` (``driver_mgmc.cc:40-107``).
