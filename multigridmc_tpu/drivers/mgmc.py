@@ -109,9 +109,13 @@ def measure_sampling_time(label, sampler, op, config, f, sample_vec, xbar, y, fi
     # static n is a separate XLA program; compiling inside the timed region
     # would pollute the per-sample figure) - run them on a throwaway state
     # with far-offset keys so the real chain stream is untouched
+    # a scalar host read forces remote completion (block_until_ready does not
+    # reliably block over the remote-TPU tunnel for all program classes);
+    # without it, still-in-flight precompile work bleeds into the timed loop
     for n in {min(512, sp.nsamples), sp.nsamples % 512 or 512}:
-        jax.block_until_ready(chain_j(x, jnp.int32(sp.nwarmup + sp.nsamples + 10_000), n))
-    jax.block_until_ready(x)
+        xw, _ = chain_j(x, jnp.int32(sp.nwarmup + sp.nsamples + 10_000), n)
+        float(xw.ravel()[0])
+    float(x.ravel()[0])
 
     data = np.empty(sp.nsamples)
     t0 = time.perf_counter()

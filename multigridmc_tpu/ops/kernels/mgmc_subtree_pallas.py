@@ -42,8 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mgmc_visit_pallas import (
-    _VMEM_BUDGET,
-    _VMEM_LIMIT,
+    _vmem_limit,
     _apply_stencil,
     _block_seeds,
     _mm,
@@ -250,7 +249,8 @@ def subtree_sample(key, arrays, Linv, LinvT, xi_scales, f, *, levels, cycle,
     coarse_n = Linv.shape[0]
 
     # VMEM budget: resident fields of every sub-level + per-chain working set
-    resident = 8 * (Linv.size + LinvT.size)
+    # (f32 = 4 bytes/element; the padded-plane accounting below uses the same)
+    resident = 4 * (Linv.size + LinvT.size)
     per_chain = 0
     for lv in levels:
         plane = _padded_plane(lv["vshape"])
@@ -330,7 +330,7 @@ def subtree_sample(key, arrays, Linv, LinvT, xi_scales, f, *, levels, cycle,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bc,) + vshape, lambda i: (i,) + zeros2,
                                memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(*args)
 

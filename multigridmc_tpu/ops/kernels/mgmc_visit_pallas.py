@@ -57,11 +57,68 @@ from .sor_pallas_v2 import _shifted, _sweep_body
 _TWO_PI = 6.283185307179586
 _HI = jax.lax.Precision.HIGHEST
 
-#: The chip has ~128 MB VMEM but Mosaic's default scoped limit is 16 MB
-#: (probed on v5e: 2x56 MB blocks compile with vmem_limit_bytes raised);
-#: the visit kernels raise the limit and budget conservatively.
-_VMEM_LIMIT = 112 * 1024 * 1024
-_VMEM_BUDGET = 96 * 1024 * 1024
+#: The v5e chip has ~128 MB VMEM but Mosaic's default scoped limit is 16 MB
+#: (probed: 2x56 MB blocks compile with vmem_limit_bytes raised); the visit
+#: kernels raise the limit and budget conservatively.  Other chip generations
+#: are re-gated at first use by :func:`_vmem_limit` (device-kind table +
+#: compile probe; MGMC_VMEM_MB overrides) instead of hard-coding the v5e
+#: numbers (round-2 advice: a smaller-VMEM generation must fall back to the
+#: composed path, not fail at compile time).
+_VMEM_MB_ENV = os.environ.get("MGMC_VMEM_MB")
+
+
+def _probe_limit_compiles(mb: int) -> bool:
+    """Whether a trivial kernel compiles+runs with vmem_limit_bytes raised to
+    ``mb`` MB on the current default device."""
+    try:
+        x = jnp.zeros((8, 128), jnp.float32)
+
+        def _copy(x_ref, o_ref):
+            o_ref[:] = x_ref[:]
+
+        out = pl.pallas_call(
+            _copy,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=mb * 1024 * 1024
+            ),
+        )(x)
+        jax.block_until_ready(out)
+        return True
+    except Exception:  # compile or runtime rejection -> try a smaller limit
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _vmem_limit() -> int:
+    """Per-core VMEM limit (bytes) requested from Mosaic - derived at first
+    use from the device kind, with a compile-probe ladder for unknown chips."""
+    if _VMEM_MB_ENV:
+        return int(_VMEM_MB_ENV) * 1024 * 1024
+    try:
+        backend = jax.default_backend()
+        kind = jax.devices()[0].device_kind.lower()
+    except RuntimeError:
+        return 112 * 1024 * 1024
+    if backend != "tpu":
+        # interpret mode (CPU tests): the budget only gates shapes
+        return 112 * 1024 * 1024
+    if "v2" in kind or "v3" in kind:  # 16-32 MB VMEM generations
+        return 24 * 1024 * 1024
+    if any(k in kind for k in ("v4", "v5", "v6", "v7")):
+        return 112 * 1024 * 1024
+    for mb in (112, 56, 24):
+        if _probe_limit_compiles(mb):
+            return mb * 1024 * 1024
+    return 16 * 1024 * 1024
+
+
+def _vmem_budget() -> int:
+    """Planning budget for resident+block arrays: 6/7 of the requested limit
+    (the 96/112 headroom ratio measured on v5e for Mosaic's own scratch)."""
+    return (6 * _vmem_limit()) // 7
+
+
 #: measured Mosaic stack usage per chain in the visit kernels: ~14 padded
 #: planes of temporaries (noise, sweep phases, residual) on top of the
 #: in/out blocks - budget 16 planes per chain
@@ -289,8 +346,9 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
 _BC_MAX = int(os.environ.get("MGMC_VISIT_BC_MAX", "8"))
 
 
-def _pick_bc(C, resident_bytes, per_chain_bytes, budget=_VMEM_BUDGET,
+def _pick_bc(C, resident_bytes, per_chain_bytes, budget=None,
              bc_max=None):
+    budget = _vmem_budget() if budget is None else budget
     bc_max = _BC_MAX if bc_max is None else bc_max
     for bc in (64, 32, 16, 8, 4, 2, 1):
         if bc > bc_max:
@@ -442,7 +500,7 @@ def descend_visit(
                          memory_space=pltpu.VMEM),
         ),
         input_output_aliases={x_index: 0},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(*args)
 
@@ -556,7 +614,7 @@ def ascend_visit(
         out_specs=pl.BlockSpec((bc,) + vshape, lambda i: (i,) + zeros,
                                memory_space=pltpu.VMEM),
         input_output_aliases={x_index: 0},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(*args)
 
