@@ -659,18 +659,21 @@ def _sweep_spec(obj):
 
 
 def fused_levels_for(operators, presmoothers, postsmoothers, coarse_scaling,
-                     min_vertices, interpret=False):
+                     min_vertices, interpret=False, force=None):
     """Shared gating + construction of per-level fused visit kernels.
 
     ``presmoothers``/``postsmoothers`` are SOR/SSOR smoother (or sampler)
     objects per level.  Enabled by default on a single TPU device
     (``MGMC_FUSED=0`` disables, ``=1`` forces); levels below ``min_vertices``
-    or unsupported shapes stay on the composed path.
+    or unsupported shapes stay on the composed path.  ``force=True/False``
+    overrides the device-count auto gate (the data-parallel multi-chip path
+    runs the kernels per shard inside shard_map, where the auto gate's
+    single-device check would wrongly disable them); the env var still wins.
     """
     flag = os.environ.get("MGMC_FUSED", "auto")
-    if flag == "0":
+    if flag == "0" or (force is False and flag != "1"):
         return {}
-    if flag != "1":
+    if flag != "1" and force is not True:
         try:
             if jax.default_backend() == "cpu" or len(jax.devices()) != 1:
                 return {}

@@ -25,6 +25,28 @@ exactly twice the padded coarse extents, so the fine-vertex correspondence
 ``fine = 2*coarse + 1`` (``lattice1d.hh:145-148``) makes restriction and
 prolongation local up to width-1 halos.
 
+Why the fused level-visit kernels do not run on lattice-sharded levels
+----------------------------------------------------------------------
+The single-chip engine fuses noise + colour sweep + Woodbury + residual +
+restrict into one Pallas call (``ops/kernels/mgmc_visit_pallas.py``).  Under
+lattice sharding that fusion is algorithmically blocked, not merely unported:
+
+1. the Woodbury correction needs ``B^T x`` reduced over the *global* lattice
+   between the sweep and the residual - a ``psum`` cannot run mid-kernel, so
+   the visit necessarily splits at that point;
+2. each colour phase consumes neighbour values updated by the *previous*
+   phase, so a fused multi-phase sweep would need fresh width-1 halos between
+   phases (or redundant halo-deep recomputation, which with per-shard PRNG
+   draws inconsistent noise for the overlap vertices unless the PRNG is
+   re-keyed per global vertex position).
+
+Chains-only (data-parallel) meshes have neither problem - each shard owns the
+full lattice - and run the complete fused+distilled single-chip engine per
+shard via :class:`multigridmc_tpu.parallel.data_parallel.DataParallelMGMCSampler`.
+Lattice-sharded levels use the explicit-halo composed sweeps below, which keep
+the per-colour exchanges and the ``B^T x`` psum at their algebraically
+required positions.
+
 Noise modes
 -----------
 * ``"sharded"`` (production): every (chains x lattice) shard folds its linear

@@ -74,6 +74,10 @@ class MultigridMCSampler(Sampler):
         cholesky_factorisation: str = "dense",
         hierarchy: Optional[MultigridHierarchy] = None,
         verbose: int = 0,
+        distill: object = "auto",
+        fused: object = "auto",
+        fused_min_vertices: Optional[int] = None,
+        fused_interpret: bool = False,
     ):
         super().__init__(op)
         self.hierarchy = hierarchy or MultigridHierarchy(op, nlevel)
@@ -110,7 +114,14 @@ class MultigridMCSampler(Sampler):
             for level, level_op in enumerate(self.hierarchy.operators):
                 print(f"  level {level} lattice : {level_op.lattice.get_info()}")
 
+        self._fused_opts = dict(
+            force=None if fused == "auto" else bool(fused),
+            min_vertices=(MIN_FUSED_VERTICES if fused_min_vertices is None
+                          else int(fused_min_vertices)),
+            interpret=bool(fused_interpret),
+        )
         self._build_fused_levels(smoother, npresmooth, npostsmooth)
+        self._build_distilled(distill)
 
     # ------------------------------------------------- fused level visits
     def _build_fused_levels(self, smoother: str, npresmooth: int, npostsmooth: int):
@@ -133,7 +144,9 @@ class MultigridMCSampler(Sampler):
 
         self.fused_levels = fused_levels_for(
             self.hierarchy.operators, self.presamplers, self.postsamplers,
-            self.coarse_scaling, MIN_FUSED_VERTICES,
+            self.coarse_scaling, self._fused_opts["min_vertices"],
+            interpret=self._fused_opts["interpret"],
+            force=self._fused_opts["force"],
         )
         self._build_subtree()
 
@@ -169,6 +182,50 @@ class MultigridMCSampler(Sampler):
             self.presamplers[0].omega, self.cycle, self.coarse_scaling,
         )
 
+    def _build_distilled(self, distill):
+        """Affine distillation of the coarse subtree (samplers/distill.py):
+        below the distill level the recursion's ~hundreds of latency-bound
+        XLA ops are replaced by the subtree's *exact* affine-Gaussian map
+        ``x = T f + S xi`` - two fat MXU matmuls per invocation.  Enabled by
+        default on a single TPU device for batched chains (MGMC_DISTILL=0
+        disables, =1 forces, e.g. for CPU statistical tests)."""
+        self.distilled = None
+        self.distill_level = None
+        if self.subtree is not None:
+            return  # the opt-in subtree kernel already covers the sub-levels
+        flag = os.environ.get("MGMC_DISTILL", "")
+        if flag == "0" or (distill is False and flag != "1"):
+            return
+        if flag != "1" and distill is not True:
+            try:
+                if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
+                    return
+            except RuntimeError:
+                return
+        from .distill import distill_subtree, pick_distill_level
+
+        li = pick_distill_level(self.hierarchy.operators)
+        if li is None:
+            return
+        # run the one-time basis propagation on the accelerator even when the
+        # sampler is constructed under a CPU default-device context (the
+        # propagation is one jitted program; setup-time eager work stays host)
+        try:
+            accel = [d for d in jax.devices() if d.platform != "cpu"]
+        except RuntimeError:
+            accel = []
+        import contextlib
+
+        ctx = jax.default_device(accel[0]) if accel else contextlib.nullcontext()
+        with ctx:
+            self.distilled = distill_subtree(
+                self.hierarchy.operators[li:],
+                self.presamplers[li:], self.postsamplers[li:],
+                self.coarse_sampler, self.cycle, self.coarse_scaling,
+                noise=True,
+            )
+        self.distill_level = li
+
     def _sample(self, level: int, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
         """Recursive stochastic cycle (``multigridmc_sampler.cc:103-130``),
         unrolled at trace time."""
@@ -190,6 +247,9 @@ class MultigridMCSampler(Sampler):
                 f_coarse = restrict(r, dim=op.lattice.dim)
             if level == 0 and self.subtree is not None and x.ndim == vdim + 1:
                 x_coarse = self.subtree.sample(kcoarse, f_coarse)
+            elif (self.distilled is not None
+                  and level + 1 == self.distill_level and x.ndim > vdim):
+                x_coarse = self.distilled.apply(kcoarse, f_coarse)
             else:
                 x_coarse = jnp.zeros_like(f_coarse)
                 x_coarse = self._sample(level + 1, kcoarse, f_coarse, x_coarse)

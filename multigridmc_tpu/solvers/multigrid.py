@@ -64,6 +64,10 @@ class MultigridPreconditioner:
         cycle: int = 1,
         coarse_scaling: float = 1.0,
         hierarchy: Optional[MultigridHierarchy] = None,
+        distill: object = "auto",
+        fused: object = "auto",
+        fused_min_vertices: Optional[int] = None,
+        fused_interpret: bool = False,
     ):
         self.hierarchy = hierarchy or MultigridHierarchy(op, nlevel)
         self.cycle = int(cycle)
@@ -95,9 +99,53 @@ class MultigridPreconditioner:
 
             self.fused_levels = fused_levels_for(
                 self.hierarchy.operators, self.presmoothers,
-                self.postsmoothers, self.coarse_scaling, MIN_FUSED_VERTICES,
+                self.postsmoothers, self.coarse_scaling,
+                MIN_FUSED_VERTICES if fused_min_vertices is None
+                else int(fused_min_vertices),
+                interpret=bool(fused_interpret),
+                force=None if fused == "auto" else bool(fused),
             )
         self._dummy_key = jax.random.key(0)
+        self._build_distilled(distill)
+
+    def _build_distilled(self, distill):
+        """Distil the deterministic coarse subtree into one matrix (the
+        noise-free variant of samplers/distill.py): below the distill level
+        the recursion's latency-bound op tail becomes a single batched MXU
+        matmul.  Same gating as the sampler (MGMC_DISTILL / single TPU)."""
+        self.distilled = None
+        self.distill_level = None
+        import os
+
+        flag = os.environ.get("MGMC_DISTILL", "")
+        if flag == "0" or (distill is False and flag != "1"):
+            return
+        if flag != "1" and distill is not True:
+            try:
+                if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
+                    return
+            except RuntimeError:
+                return
+        from ..samplers.distill import distill_subtree, pick_distill_level
+
+        li = pick_distill_level(self.hierarchy.operators)
+        if li is None:
+            return
+        import contextlib
+
+        try:
+            accel = [d for d in jax.devices() if d.platform != "cpu"]
+        except RuntimeError:
+            accel = []
+        ctx = jax.default_device(accel[0]) if accel else contextlib.nullcontext()
+        with ctx:
+            self.distilled = distill_subtree(
+                self.hierarchy.operators[li:],
+                self.presmoothers[li:], self.postsmoothers[li:],
+                self.coarse_solver, self.cycle, self.coarse_scaling,
+                noise=False,
+            )
+        self.distill_level = li
 
     def _solve(self, level: int, b: jax.Array) -> jax.Array:
         """Recursive cycle, unrolled at trace time; x is zero-initialised at every
@@ -119,7 +167,11 @@ class MultigridPreconditioner:
                 x = self.presmoothers[level].apply(b, x)
                 r = b - op.apply(x)
                 b_coarse = restrict(r, dim=op.lattice.dim)
-            x_coarse = self._solve(level + 1, b_coarse)
+            if (self.distilled is not None
+                    and level + 1 == self.distill_level and b.ndim > vdim):
+                x_coarse = self.distilled.solve(b_coarse)
+            else:
+                x_coarse = self._solve(level + 1, b_coarse)
             if fused is not None:
                 xc = x_coarse if fused.fuse_transfers else prolongate(
                     x_coarse, op.vshape)
