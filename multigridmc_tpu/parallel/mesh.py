@@ -109,9 +109,15 @@ def init_distributed(
     if ca:
         kwargs["coordinator_address"] = ca
         kwargs["num_processes"] = int(
-            num_processes or os.environ["JAX_NUM_PROCESSES"]
+            num_processes if num_processes is not None
+            else os.environ["JAX_NUM_PROCESSES"]
         )
-        kwargs["process_id"] = int(process_id or os.environ["JAX_PROCESS_ID"])
+        # NOT `process_id or env`: the coordinator's id 0 is falsy and must
+        # not fall through to the env lookup (caught by dryrun_multihost)
+        kwargs["process_id"] = int(
+            process_id if process_id is not None
+            else os.environ["JAX_PROCESS_ID"]
+        )
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError):

@@ -263,22 +263,24 @@ class DistilledSubtree:
     ``apply(key, f) = f @ T + xi @ S^T`` with any leading batch dims."""
 
     def __init__(self, Tm: jax.Array, S_T: Optional[jax.Array],
-                 vshape: Tuple[int, ...], level_info: dict):
+                 vshape: Tuple[int, ...], level_info: dict, precision=None):
         self.Tm = Tm  # (n, n), row-vector convention x = f @ Tm
         self.S_T = S_T  # (n, n) upper factor, None for deterministic maps
         self.vshape = vshape
         self.n = Tm.shape[0]
         self.info = level_info
+        self.precision = PRECISION if precision is None else (
+            _PRECISIONS[precision] if isinstance(precision, str) else precision)
 
     def apply(self, key, f: jax.Array) -> jax.Array:
         batch = f.shape[: f.ndim - len(self.vshape)]
         fl = f.reshape(batch + (self.n,))
         x = jnp.tensordot(fl, self.Tm, axes=([fl.ndim - 1], [0]),
-                          precision=PRECISION)
+                          precision=self.precision)
         if self.S_T is not None:
             xi = jax.random.normal(key, batch + (self.n,), dtype=f.dtype)
             x = x + jnp.tensordot(xi, self.S_T, axes=([xi.ndim - 1], [0]),
-                                  precision=PRECISION)
+                                  precision=self.precision)
         return x.reshape(f.shape)
 
     def solve(self, b: jax.Array) -> jax.Array:
@@ -308,6 +310,7 @@ def distill_subtree(
     coarse_scaling: float,
     *,
     noise: bool = True,
+    precision=None,
 ) -> DistilledSubtree:
     """Distil the subtree spanned by ``operators`` (the ``[level:]`` slice of
     a hierarchy) into its exact affine-Gaussian map.  ``noise=False`` distils
@@ -326,7 +329,7 @@ def distill_subtree(
         S = _chol_psd(np.asarray(C, dtype=np.float64))
         S_T = jnp.asarray(S.T, dtype=Tm.dtype)
     info = dict(n=n, K=int(X.shape[0]) - n, noise=noise)
-    return DistilledSubtree(Tm, S_T, op.vshape, info)
+    return DistilledSubtree(Tm, S_T, op.vshape, info, precision=precision)
 
 
 def pick_distill_level(operators: Sequence[StencilOperator],

@@ -23,7 +23,11 @@ from jax.sharding import Mesh
 from multigridmc_tpu.lattice import Lattice
 from multigridmc_tpu.models.correlation import PeriodicCorrelationLengthModel
 from multigridmc_tpu.models.posterior import MeasurementParameters, measured_operator
-from multigridmc_tpu.models.prior import shiftedlaplace_fd, shiftedlaplace_fem
+from multigridmc_tpu.models.prior import (
+    shiftedlaplace_fd,
+    shiftedlaplace_fem,
+    squared_shiftedlaplace_fd,
+)
 from multigridmc_tpu.parallel.cycle import (
     ShardedMGMCSampler,
     pad_field,
@@ -32,10 +36,20 @@ from multigridmc_tpu.parallel.cycle import (
 from multigridmc_tpu.solvers.multigrid import MultigridPreconditioner
 
 
-def make_posterior(nx=16, fem=False):
+def make_posterior(nx=16, prior_kind="fd"):
     lattice = Lattice((nx, nx))
-    model = PeriodicCorrelationLengthModel(Lambda_min=1.2, Lambda_max=2.3)
-    prior = (shiftedlaplace_fem if fem else shiftedlaplace_fd)(lattice, model)
+    if prior_kind == "biharm":
+        from multigridmc_tpu.models.correlation import (
+            ConstantCorrelationLengthModel,
+        )
+
+        prior = squared_shiftedlaplace_fd(
+            lattice, ConstantCorrelationLengthModel(1.0)
+        )
+    else:
+        model = PeriodicCorrelationLengthModel(Lambda_min=1.2, Lambda_max=2.3)
+        assemble = shiftedlaplace_fem if prior_kind == "fem" else shiftedlaplace_fd
+        prior = assemble(lattice, model)
     rng = np.random.default_rng(1212417)
     params = MeasurementParameters(
         measurement_locations=rng.uniform(0.2, 0.8, size=(4, 2)),
@@ -53,11 +67,15 @@ def lattice_mesh_2d(ly, lx, chains=None):
     return Mesh(devs.reshape(ly, lx), ("ly", "lx"))
 
 
-@pytest.mark.parametrize("fem", [False, True], ids=["fd5pt", "fem9pt"])
+@pytest.mark.parametrize(
+    "prior_kind", ["fd", "fem", "biharm"], ids=["fd5pt", "fem9pt", "biharm13pt"]
+)
 @pytest.mark.parametrize("cycle", [1, 2], ids=["V", "W"])
-def test_deterministic_cycle_matches_preconditioner(fem, cycle):
-    """Sharded deterministic cycle == single-device MultigridPreconditioner."""
-    op = make_posterior(nx=16, fem=fem)
+def test_deterministic_cycle_matches_preconditioner(prior_kind, cycle):
+    """Sharded deterministic cycle == single-device MultigridPreconditioner -
+    incl. the 13-point biharmonic stencil whose sweeps/residual need width-2
+    halos (squared_shiftedlaplace_fd_operator.cc:58-94)."""
+    op = make_posterior(nx=16, prior_kind=prior_kind)
     mesh = lattice_mesh_2d(2, 2)
     sh = ShardedMGMCSampler(
         op, nlevel=3, mesh=mesh, smoother="SOR", cycle=cycle,
@@ -80,10 +98,12 @@ def test_deterministic_cycle_matches_preconditioner(fem, cycle):
     assert float(jnp.abs(jnp.asarray(np.asarray(out)[..., pad_mask])).max()) == 0.0
 
 
-def test_global_noise_mesh_equivalence():
+@pytest.mark.parametrize("prior_kind", ["fd", "biharm"], ids=["fd5pt", "biharm13pt"])
+def test_global_noise_mesh_equivalence(prior_kind):
     """Identical trajectories on a 1-device mesh and an 8-device composite
-    chains x lattice mesh under 'global' noise (the dryrun_multichip assert)."""
-    op = make_posterior(nx=16)
+    chains x lattice mesh under 'global' noise (the dryrun_multichip assert);
+    the biharmonic case runs the stochastic sweeps across width-2 halos."""
+    op = make_posterior(nx=16, prior_kind=prior_kind)
     kwargs = dict(
         nlevel=3, smoother="SOR", cycle=2, agglomerate_below=4,
         noise_mode="global",
@@ -150,3 +170,101 @@ def test_sharded_sampler_statistics():
     em = np.max(np.abs(Ex - mean_exact))
     ec = np.max(np.abs(cov - cov_exact))
     assert em < 6e-3 and ec < 6e-3, (em, ec)
+
+
+def test_sharded_sampler_statistics_wcycle_16():
+    """Scaled production-mode gate (round-2 review item 7): sharded-noise
+    W-cycle SOR at 16^2 with nlevel 3, crossing a sharded -> replicated
+    agglomeration transition on the full 8-device mesh; mean vs Q^{-1} f and
+    covariance vs Q^{-1} (test_sampler.hh:113-153 oracle)."""
+    import os
+
+    thorough = os.environ.get("MGMC_THOROUGH", "0") == "1"
+    op = make_posterior(nx=16)
+    mesh = lattice_mesh_2d(2, 2, chains=2)
+    sampler = ShardedMGMCSampler(
+        op, nlevel=3, mesh=mesh, smoother="SOR", cycle=2,
+        agglomerate_below=4, noise_mode="sharded",
+    )
+    # L0 (16-padded) and L1 (8-padded) are lattice-sharded, L2 is replicated:
+    # the cycle crosses the agglomeration transition every descent
+    assert [lv.sharded for lv in sampler.levels] == [True, True, False]
+    n = op.lattice.nvertex
+    rng = np.random.default_rng(1342517)
+    mean_exact = rng.uniform(size=n)
+    Q = op.to_dense()
+    f = jnp.asarray((Q @ mean_exact).reshape(op.lattice.vshape))
+    cov_exact = np.linalg.inv(Q)
+
+    fp = pad_field(f, op.vshape)
+    nchains, nwarmup, nsteps = (1024, 50, 300) if thorough else (512, 40, 150)
+    tol = 8e-3 if thorough else 1.2e-2
+    x = jnp.zeros((nchains,) + tuple(m + 1 for m in op.vshape))
+    key = jax.random.PRNGKey(77)
+
+    vsel = np.ones(tuple(m + 1 for m in op.vshape), dtype=bool)
+    vsel[-1, :] = False
+    vsel[:, -1] = False
+
+    @jax.jit
+    def warm(x, key):
+        def body(i, x):
+            return sampler._apply(
+                jax.random.fold_in(key, i), fp, x, chains_total=nchains)
+        return jax.lax.fori_loop(0, nwarmup, body, x)
+
+    x = warm(x, jax.random.fold_in(key, 0))
+    sx = np.zeros(n)
+    sxx = np.zeros((n, n))
+    for i in range(nsteps):
+        x = sampler.apply(jax.random.fold_in(key, 1 + i), fp, x)
+        xf = np.asarray(x)[:, vsel]
+        sx += xf.sum(axis=0)
+        sxx += xf.T @ xf
+    total = nchains * nsteps
+    Ex = sx / total
+    cov = sxx / total - np.outer(Ex, Ex)
+    em = np.max(np.abs(Ex - mean_exact))
+    ec = np.max(np.abs(cov - cov_exact))
+    assert em < tol and ec < tol, (em, ec)
+
+
+def test_sharded_sampler_statistics_biharmonic():
+    """Production sharded-noise mode through width-2 halos: the 13-point
+    biharmonic posterior on a 2x2 lattice mesh, mean/cov vs the dense
+    inverse."""
+    op = make_posterior(nx=8, prior_kind="biharm")
+    mesh = lattice_mesh_2d(2, 2, chains=2)
+    sampler = ShardedMGMCSampler(
+        op, nlevel=2, mesh=mesh, smoother="SSOR", cycle=1,
+        agglomerate_below=2, noise_mode="sharded",
+    )
+    n = op.lattice.nvertex
+    rng = np.random.default_rng(24601)
+    mean_exact = rng.uniform(size=n)
+    Q = op.to_dense()
+    f = jnp.asarray((Q @ mean_exact).reshape(op.lattice.vshape))
+    cov_exact = np.linalg.inv(Q)
+
+    fp = pad_field(f, op.vshape)
+    nchains, nwarmup, nsteps = 512, 30, 120
+    x = jnp.zeros((nchains,) + tuple(m + 1 for m in op.vshape))
+    key = jax.random.PRNGKey(31)
+    vsel = np.ones(tuple(m + 1 for m in op.vshape), dtype=bool)
+    vsel[-1, :] = False
+    vsel[:, -1] = False
+    sx = np.zeros(n)
+    sxx = np.zeros((n, n))
+    for i in range(nwarmup):
+        x = sampler.apply(jax.random.fold_in(key, i), fp, x)
+    for i in range(nsteps):
+        x = sampler.apply(jax.random.fold_in(key, nwarmup + i), fp, x)
+        xf = np.asarray(x)[:, vsel]
+        sx += xf.sum(axis=0)
+        sxx += xf.T @ xf
+    total = nchains * nsteps
+    Ex = sx / total
+    cov = sxx / total - np.outer(Ex, Ex)
+    em = np.max(np.abs(Ex - mean_exact))
+    ec = np.max(np.abs(cov - cov_exact))
+    assert em < 2e-2 and ec < 2e-2, (em, ec)

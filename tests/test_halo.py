@@ -9,7 +9,11 @@ import pytest
 
 from multigridmc_tpu.lattice import Lattice
 from multigridmc_tpu.models.correlation import ConstantCorrelationLengthModel
-from multigridmc_tpu.models.prior import shiftedlaplace_fd, shiftedlaplace_fem
+from multigridmc_tpu.models.prior import (
+    shiftedlaplace_fd,
+    shiftedlaplace_fem,
+    squared_shiftedlaplace_fd,
+)
 from multigridmc_tpu.ops.coloring import coloring_for
 from multigridmc_tpu.parallel.halo import halo_exchange, shard_map_sor_sweep
 from multigridmc_tpu.parallel.mesh import lattice_mesh
@@ -53,11 +57,18 @@ def test_halo_exchange_matches_global_pad():
 
 
 @pytest.mark.parametrize(
-    "assemble,pad", [(shiftedlaplace_fd, 1), (shiftedlaplace_fem, 1)]
+    "assemble,pad",
+    [
+        (shiftedlaplace_fd, 1),
+        (shiftedlaplace_fem, 1),
+        # 13-point biharmonic stencil: width-2 halos
+        # (squared_shiftedlaplace_fd_operator.cc:58-94)
+        (squared_shiftedlaplace_fd, 2),
+    ],
 )
 def test_shard_map_sweep_matches_global(assemble, pad):
     """Explicit-halo colour sweep == global colour sweep (same splitting,
-    including couplings across shard boundaries)."""
+    including couplings across shard boundaries), width-1 and width-2 halos."""
     lattice = Lattice((65, 65))  # vshape (64, 64) divides the (4, 2) mesh
     op = assemble(lattice, ConstantCorrelationLengthModel(0.3))
     coloring = coloring_for(op.offsets, op.vshape)
@@ -72,3 +83,40 @@ def test_shard_map_sweep_matches_global(assemble, pad):
         lambda b, x: shard_map_sor_sweep(op, coloring, 0.9, order, mesh, b, x)
     )(b, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.parametrize("pad", [1, 2])
+def test_halo_exchange_width(pad):
+    """halo_exchange with width-2 halos (13-point biharmonic stencil) equals
+    slicing the zero-padded global field."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    import functools
+
+    mesh = lattice_mesh(2, n_devices=8)  # ('ly', 'lx') = (4, 2)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(32, 64)))
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P("ly", "lx"),), out_specs=P("ly", "lx")
+    )
+    def padded(xl):
+        # fold every halo entry into the block so content is verified, not
+        # just shapes: sum over all shifts within the pad radius
+        xp = halo_exchange(xl, pad, ("ly", "lx"))
+        h, w = xl.shape
+        out = jnp.zeros_like(xl)
+        for dy in range(2 * pad + 1):
+            for dx in range(2 * pad + 1):
+                out = out + xp[dy:dy + h, dx:dx + w]
+        return out
+
+    out = padded(x)
+    xpad = jnp.pad(x, pad)
+    h, w = x.shape
+    expected = sum(
+        xpad[dy:dy + h, dx:dx + w]
+        for dy in range(2 * pad + 1)
+        for dx in range(2 * pad + 1)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-13)
