@@ -182,16 +182,34 @@ def _apply_stencil(coeffs, x, offsets, iotas, vshape):
     return ax
 
 
-def _noisy_rhs(f, x, ns_ref, xi_lr_ref, B_ref, m, dim):
+def _noisy_rhs(f, x, ns, xi_lr_ref, B_fields, m, dim):
     """c = f + sqrt(D(2-omega)/omega) xi + sum_k xi'_k B_k (xi' pre-scaled by
-    Sigma^{-1/2} outside), cf. ``sor_sampler.cc:39-56``."""
+    Sigma^{-1/2} outside), cf. ``sor_sampler.cc:39-56``.  ``ns`` is the noise
+    scale (a value or a static float); ``B_fields[k]`` is the k-th measurement
+    field as a ``vshape`` value (resident plane or SMEM-synthesized)."""
     xi = _normals(x.shape)
-    c = f + ns_ref[:] * xi
+    c = f + ns * xi
     if m:
         xi_lr = xi_lr_ref[:]  # (bc, 1, ..., 1, m)
         for k in range(m):
-            c = c + xi_lr[..., k:k + 1] * B_ref[k][None]
+            c = c + xi_lr[..., k:k + 1] * B_fields[k][None]
     return c
+
+
+def _synth_B_fields(rows_ref, cols_ref, vals_ref, m, nz, iotas):
+    """Rebuild sparse measurement fields from SMEM scalars: B_k has ``nz``
+    (row, col, val) triplets (padded with row = -1, never matching the iota).
+    Radius-0 measurement columns are one-hot (``measured_operator.cc:74-91``),
+    so at large extents this replaces m resident VMEM planes with VPU masks."""
+    fields = []
+    for k in range(m):
+        acc = None
+        for j in range(nz):
+            mask = (iotas[0] == rows_ref[k, j]) & (iotas[1] == cols_ref[k, j])
+            t = jnp.where(mask, vals_ref[k, j], jnp.float32(0.0))
+            acc = t if acc is None else acc + t
+        fields.append(acc)
+    return fields
 
 
 def _reduce_spatial(t, dim):
@@ -205,7 +223,7 @@ def _reduce_spatial(t, dim):
     return t
 
 
-def _sweeps(coeffs, x, f, params, orders, m, noise, ns_ref, xi_lr_ref, B_ref,
+def _sweeps(coeffs, x, f, params, orders, m, noise, ns, xi_lr_ref, B_fields,
             Bbar_ref, dim):
     """One visit's sweep stack: for each directed sweep d, fresh Gibbs noise,
     the colour sweep, and that direction's Woodbury correction (``Bbar_ref``
@@ -215,29 +233,51 @@ def _sweeps(coeffs, x, f, params, orders, m, noise, ns_ref, xi_lr_ref, B_ref,
     for d, order in enumerate(orders):
         if noise:
             xi_lr_d = xi_lr_ref[..., d * m:(d + 1) * m] if m else None
-            c = _noisy_rhs(f, x, ns_ref, xi_lr_d, B_ref, m, dim)
+            c = _noisy_rhs(f, x, ns, xi_lr_d, B_fields, m, dim)
         else:
             c = f
         x = _sweep_body(coeffs, c, x, order=order, **params)
         if m:
-            btx = [_reduce_spatial(x * B_ref[k][None], dim) for k in range(m)]
+            btx = [_reduce_spatial(x * B_fields[k][None], dim)
+                   for k in range(m)]
             for l in range(m):
                 x = x - btx[l] * Bbar_ref[d * m + l][None]
     return x, btx
 
 
-def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict):
+def _unpack_coeffs(coeffs_ref, const_coeffs):
+    """Per-offset coefficient values: static floats for spatially-constant
+    planes, resident VMEM planes for the rest (``coeffs_ref`` holds only the
+    varying planes, in offset order; None when all are constant)."""
+    vals = []
+    vi = 0
+    for cval in const_coeffs:
+        if cval is None:
+            vals.append(coeffs_ref[vi])
+            vi += 1
+        else:
+            vals.append(jnp.float32(cval))
+    return tuple(vals)
+
+
+def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict,
+                         const_coeffs, ns_const, sparse_nz):
     dim = len(params["offsets"][0])
     orders = params["orders"]
     base_params = {k: v for k, v in params.items() if k != "orders"}
+    nk_var = sum(1 for c in const_coeffs if c is None)
 
     def kernel(*refs):
         it = iter(refs)
         seed_ref = next(it) if noise else None
         xi_lr_ref = next(it) if (noise and m) else None
-        coeffs_ref = next(it)
-        ns_ref = next(it) if noise else None
-        B_ref = next(it) if m else None
+        coeffs_ref = next(it) if nk_var else None
+        ns_ref = next(it) if (noise and ns_const is None) else None
+        if m and sparse_nz:
+            b_rows_ref, b_cols_ref, b_vals_ref = next(it), next(it), next(it)
+            B_ref = None
+        else:
+            B_ref = next(it) if m else None
         Bbar_ref = next(it) if m else None
         sinv_ref = next(it) if m else None
         G_ref = next(it) if m else None
@@ -253,17 +293,25 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict):
             pltpu.prng_seed(
                 *(seed_ref[i * n_seed_words + j] for j in range(n_seed_words))
             )
-        coeffs = coeffs_ref[:]
+        coeffs = _unpack_coeffs(coeffs_ref, const_coeffs)
         f = f_ref[:]  # (bc, *v) or (1, *v): broadcasts against (bc, *v)
         x = x_ref[:]
         vshape = x.shape[-dim:]
+        iotas = [jax.lax.broadcasted_iota(jnp.int32, vshape, d) for d in range(dim)]
+        if m:
+            B_fields = (_synth_B_fields(b_rows_ref, b_cols_ref, b_vals_ref,
+                                        m, sparse_nz, iotas)
+                        if sparse_nz else [B_ref[k] for k in range(m)])
+        else:
+            B_fields = None
+        ns = jnp.float32(ns_const) if ns_const is not None else (
+            ns_ref[:] if noise else None)
 
-        x, btx = _sweeps(coeffs, x, f, base_params, orders, m, noise, ns_ref,
-                         xi_lr_ref, B_ref, Bbar_ref, dim)
+        x, btx = _sweeps(coeffs, x, f, base_params, orders, m, noise, ns,
+                         xi_lr_ref, B_fields, Bbar_ref, dim)
         xout_ref[:] = x
 
         # residual r = f - A x  (full operator incl. low-rank term)
-        iotas = [jax.lax.broadcasted_iota(jnp.int32, vshape, d) for d in range(dim)]
         r = f - _apply_stencil(coeffs, x, base_params["offsets"], iotas, vshape)
         if m:
             # B^T x' after the LAST Woodbury correction without re-reducing
@@ -273,7 +321,7 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict):
                 btx2 = btx[k]
                 for l in range(m):
                     btx2 = btx2 - G_ref[k, l] * btx[l]
-                r = r - (btx2 * sinv_ref[0, k]) * B_ref[k][None]
+                r = r - (btx2 * sinv_ref[0, k]) * B_fields[k][None]
 
         if not fuse_restrict:
             # 3d (or diagnostic) variant: emit the residual, restrict outside
@@ -293,18 +341,23 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict):
 
 
 def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
-                        fuse_prolongate):
+                        fuse_prolongate, const_coeffs, ns_const, sparse_nz):
     dim = len(params["offsets"][0])
     orders = params["orders"]
     base_params = {k: v for k, v in params.items() if k != "orders"}
+    nk_var = sum(1 for c in const_coeffs if c is None)
 
     def kernel(*refs):
         it = iter(refs)
         seed_ref = next(it) if noise else None
         xi_lr_ref = next(it) if (noise and m) else None
-        coeffs_ref = next(it)
-        ns_ref = next(it) if noise else None
-        B_ref = next(it) if m else None
+        coeffs_ref = next(it) if nk_var else None
+        ns_ref = next(it) if (noise and ns_const is None) else None
+        if m and sparse_nz:
+            b_rows_ref, b_cols_ref, b_vals_ref = next(it), next(it), next(it)
+            B_ref = None
+        else:
+            B_ref = next(it) if m else None
         Bbar_ref = next(it) if m else None
         RhT_ref = next(it) if fuse_prolongate else None
         Rw_ref = next(it) if fuse_prolongate else None
@@ -318,10 +371,22 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
             pltpu.prng_seed(
                 *(seed_ref[i * n_seed_words + j] for j in range(n_seed_words))
             )
-        coeffs = coeffs_ref[:]
+        coeffs = _unpack_coeffs(coeffs_ref, const_coeffs)
         f = f_ref[:]
         x = x_ref[:]
-        dim_ = dim
+        vshape = x.shape[-dim:]
+        if m:
+            if sparse_nz:
+                iotas = [jax.lax.broadcasted_iota(jnp.int32, vshape, d)
+                         for d in range(dim)]
+                B_fields = _synth_B_fields(b_rows_ref, b_cols_ref, b_vals_ref,
+                                           m, sparse_nz, iotas)
+            else:
+                B_fields = [B_ref[k] for k in range(m)]
+        else:
+            B_fields = None
+        ns = jnp.float32(ns_const) if ns_const is not None else (
+            ns_ref[:] if noise else None)
 
         if fuse_prolongate:
             # x += gamma * P x_c: lane contraction batched, sublane per chain
@@ -333,8 +398,8 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
             # 3d variant: P x_c computed outside, xc_ref holds the fine-size px
             x = x + coarse_scaling * xc_ref[:]
 
-        x, _ = _sweeps(coeffs, x, f, base_params, orders, m, noise, ns_ref,
-                       xi_lr_ref, B_ref, Bbar_ref, dim_)
+        x, _ = _sweeps(coeffs, x, f, base_params, orders, m, noise, ns,
+                       xi_lr_ref, B_fields, Bbar_ref, dim)
         xout_ref[:] = x
 
     return kernel
@@ -363,15 +428,30 @@ def _block_seeds(key, nblocks):
     return seeds.reshape(-1), seeds.shape[1]
 
 
+def _visit_vmem_plan(vshape, nk_var, noise, ns_const, m, n_dirs, sparse_nz,
+                     f_batched, C, r_bytes, fc_plane):
+    """Shared VMEM accounting for the visit kernels: resident planes are the
+    varying coefficient planes, the noise-scale plane (unless constant), the
+    Woodbury fields, and the measurement fields (unless SMEM-synthesized)."""
+    plane = _padded_plane(vshape)
+    resident = (nk_var + (1 if noise and ns_const is None else 0)
+                + n_dirs * m + (0 if sparse_nz else m)
+                + (0 if f_batched else 1)) * plane + r_bytes
+    per_chain = (_PLANES_PER_CHAIN + (1 if f_batched else 0)) * plane + fc_plane
+    return _pick_bc(C, resident, per_chain)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("offsets", "diag_index", "omega", "orders", "color_weights",
-                     "n_colors", "noise", "fuse_restrict", "interpret"),
+                     "n_colors", "noise", "fuse_restrict", "interpret",
+                     "const_coeffs", "ns_const", "sparse_nz"),
 )
 def descend_visit(
     key, coeffs, noise_scale, B, Bbar, sinv, Rh, RwT, f, x, *,
     offsets, diag_index, omega, orders, color_weights, n_colors,
     noise=True, fuse_restrict=True, interpret=False,
+    const_coeffs=None, ns_const=None, sparse_nz=0,
 ):
     """One fused descend visit.  Returns ``(x_new, f_coarse)`` - or
     ``(x_new, r)`` with ``fuse_restrict=False`` (3d: the tensor-product
@@ -386,12 +466,27 @@ def descend_visit(
     (``sinv`` = ``Sigma^{-1/2}-scaled`` is split: pass ``(lr_scale, sigma_inv)``
     - see FusedVisitLevel).  With ``noise=False`` the kernel runs the purely
     deterministic data path (used by CPU interpret-mode exactness tests).
+
+    Resident-set compression (VERDICT r2 #2: 1024^2-with-measurements fusion):
+
+    * ``const_coeffs`` - tuple, one entry per offset: a float bakes that
+      spatially-constant coefficient plane into the kernel; ``None`` entries
+      are read from ``coeffs``, which then holds ONLY the varying planes.
+    * ``ns_const`` - static float noise scale (``noise_scale`` ignored).
+    * ``sparse_nz > 0`` - ``B`` is an ``(rows, cols, vals)`` triplet of
+      ``(m, sparse_nz)`` arrays (SMEM); measurement fields are synthesized
+      in-kernel instead of held as m resident planes.
     """
     dim = len(offsets[0])
     C, vshape = x.shape[0], x.shape[1:]
-    m = 0 if B is None else B.shape[0]
+    if sparse_nz:
+        m = B[0].shape[0]
+    else:
+        m = 0 if B is None else B.shape[0]
     n_dirs = len(orders)
-    nk = coeffs.shape[0]
+    if const_coeffs is None:
+        const_coeffs = (None,) * len(offsets)
+    nk_var = sum(1 for c in const_coeffs if c is None)
     plane = _padded_plane(vshape)
     if fuse_restrict:
         vc = (Rh.shape[0], RwT.shape[1])
@@ -401,10 +496,8 @@ def descend_visit(
         r_bytes = 0
     fc_plane = _padded_plane(vc)
     f_batched = f.ndim == x.ndim
-    resident = (nk + (1 if noise else 0) + (1 + n_dirs) * m
-                + (0 if f_batched else 1)) * plane + r_bytes
-    per_chain = (_PLANES_PER_CHAIN + (1 if f_batched else 0)) * plane + fc_plane
-    bc = _pick_bc(C, resident, per_chain)
+    bc = _visit_vmem_plan(vshape, nk_var, noise, ns_const, m, n_dirs,
+                          sparse_nz, f_batched, C, r_bytes, fc_plane)
     if bc is None:
         raise ValueError(f"visit kernel does not fit VMEM for C={C}, v={vshape}")
     nblocks = C // bc
@@ -443,25 +536,38 @@ def descend_visit(
         _, sinv, G = sinv
     kern = _make_descend_kernel(
         params=params, n_seed_words=nw, noise=noise, m=m, bc=bc,
-        fuse_restrict=fuse_restrict,
+        fuse_restrict=fuse_restrict, const_coeffs=const_coeffs,
+        ns_const=ns_const, sparse_nz=sparse_nz,
     )
 
     def resident_spec(lead):
         return pl.BlockSpec((lead,) + vshape, lambda i: (0,) + zeros,
                             memory_space=pltpu.VMEM)
 
-    args.append(coeffs)
-    in_specs.append(resident_spec(nk))
-    if noise:
+    if nk_var:
+        args.append(coeffs)
+        in_specs.append(resident_spec(nk_var))
+    if noise and ns_const is None:
         args.append(noise_scale.reshape((1,) + vshape))
         in_specs.append(resident_spec(1))
     if m:
-        args.extend([B, Bbar, sinv.reshape(1, m), G])
+        def smem_spec(shape):
+            return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+        if sparse_nz:
+            rows, cols, vals = B
+            args.extend([rows, cols, vals])
+            in_specs.extend([smem_spec(rows.shape), smem_spec(cols.shape),
+                             smem_spec(vals.shape)])
+        else:
+            args.append(B)
+            in_specs.append(resident_spec(m))
+        args.extend([Bbar, sinv.reshape(1, m), G])
         in_specs.extend([
-            resident_spec(m), resident_spec(n_dirs * m),
+            resident_spec(n_dirs * m),
             # scalars want a 2d SMEM layout (Mosaic rejects rank-1 f32 SMEM)
-            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            smem_spec((1, m)),
+            smem_spec((m, m)),
         ])
     if fuse_restrict:
         args.extend([Rh, RwT])
@@ -509,32 +615,36 @@ def descend_visit(
     jax.jit,
     static_argnames=("offsets", "diag_index", "omega", "orders", "color_weights",
                      "n_colors", "coarse_scaling", "noise", "fuse_prolongate",
-                     "interpret"),
+                     "interpret", "const_coeffs", "ns_const", "sparse_nz"),
 )
 def ascend_visit(
     key, coeffs, noise_scale, B, Bbar, lr_scale, RhT, Rw, f, x, x_coarse, *,
     offsets, diag_index, omega, orders, color_weights, n_colors,
     coarse_scaling=1.0, noise=True, fuse_prolongate=True, interpret=False,
+    const_coeffs=None, ns_const=None, sparse_nz=0,
 ):
     """One fused ascend visit: ``x += gamma P x_c`` then the post Gibbs
     sweep(s) (+ Woodbury per sweep; ``orders``/stacked ``Bbar`` as in
     descend_visit).  Returns the new x.  With ``fuse_prolongate=False``
     ``x_coarse`` must hold the already-prolongated fine-size field ``P x_c``
-    (3d path)."""
+    (3d path).  ``const_coeffs``/``ns_const``/``sparse_nz`` compress the
+    resident set exactly as in :func:`descend_visit`."""
     dim = len(offsets[0])
     C, vshape = x.shape[0], x.shape[1:]
-    m = 0 if B is None else B.shape[0]
+    if sparse_nz:
+        m = B[0].shape[0]
+    else:
+        m = 0 if B is None else B.shape[0]
     n_dirs = len(orders)
-    nk = coeffs.shape[0]
-    plane = _padded_plane(vshape)
+    if const_coeffs is None:
+        const_coeffs = (None,) * len(offsets)
+    nk_var = sum(1 for c in const_coeffs if c is None)
     vc = x_coarse.shape[1:]
     fc_plane = _padded_plane(vc)
     f_batched = f.ndim == x.ndim
-    resident = (nk + (1 if noise else 0) + (1 + n_dirs) * m
-                + (0 if f_batched else 1)) * plane \
-        + (4 * (RhT.size + Rw.size) if fuse_prolongate else 0)
-    per_chain = (_PLANES_PER_CHAIN + (1 if f_batched else 0)) * plane + fc_plane
-    bc = _pick_bc(C, resident, per_chain)
+    r_bytes = 4 * (RhT.size + Rw.size) if fuse_prolongate else 0
+    bc = _visit_vmem_plan(vshape, nk_var, noise, ns_const, m, n_dirs,
+                          sparse_nz, f_batched, C, r_bytes, fc_plane)
     if bc is None:
         raise ValueError(f"visit kernel does not fit VMEM for C={C}, v={vshape}")
     nblocks = C // bc
@@ -566,20 +676,36 @@ def ascend_visit(
     kern = _make_ascend_kernel(
         params=params, n_seed_words=nw, noise=noise, m=m, bc=bc,
         coarse_scaling=float(coarse_scaling), fuse_prolongate=fuse_prolongate,
+        const_coeffs=const_coeffs, ns_const=ns_const, sparse_nz=sparse_nz,
     )
 
     def resident_spec(lead):
         return pl.BlockSpec((lead,) + vshape, lambda i: (0,) + zeros,
                             memory_space=pltpu.VMEM)
 
-    args.append(coeffs)
-    in_specs.append(resident_spec(nk))
-    if noise:
+    if nk_var:
+        args.append(coeffs)
+        in_specs.append(resident_spec(nk_var))
+    if noise and ns_const is None:
         args.append(noise_scale.reshape((1,) + vshape))
         in_specs.append(resident_spec(1))
     if m:
-        args.extend([B, Bbar])
-        in_specs.extend([resident_spec(m), resident_spec(n_dirs * m)])
+        if sparse_nz:
+            rows, cols, vals = B
+            args.extend([rows, cols, vals])
+            in_specs.extend([
+                pl.BlockSpec(rows.shape, lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(cols.shape, lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(vals.shape, lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ])
+        else:
+            args.append(B)
+            in_specs.append(resident_spec(m))
+        args.append(Bbar)
+        in_specs.append(resident_spec(n_dirs * m))
     if fuse_prolongate:
         args.extend([RhT, Rw])
         in_specs.extend([
@@ -619,17 +745,24 @@ def ascend_visit(
     )(*args)
 
 
-def supports_visit(vshape, dtype, n_offsets, m, nchains, n_dirs=1) -> Optional[int]:
+def supports_visit(vshape, dtype, n_offsets, m, nchains, n_dirs=1,
+                   n_var_coeffs=None, ns_const=False,
+                   sparse_B=False) -> Optional[int]:
     """Whether the fused visit kernels handle this level; returns the chain
     block size bc, or None.  2d and 3d float32 (3d without in-kernel
     transfers); the level's resident fields and one chain block of kernel
     temporaries must fit VMEM.  ``n_dirs`` = sweeps per visit (2 for SSOR:
-    the stacked B_bar fields grow the resident set)."""
+    the stacked B_bar fields grow the resident set).  ``n_var_coeffs`` /
+    ``ns_const`` / ``sparse_B`` mirror the wrappers' resident-set compression
+    (constant coefficient planes baked static, SMEM-synthesized measurement
+    fields) - at 1023^2 with m=8 they are what makes the level fit."""
     if len(vshape) not in (2, 3) or jnp.dtype(dtype) != jnp.float32:
         return None
     plane = _padded_plane(vshape)
+    nk = n_offsets if n_var_coeffs is None else n_var_coeffs
     # matches the wrappers' accounting (the banded R matrices are tiny)
-    resident = (n_offsets + 2 + (1 + n_dirs) * m) * plane + plane
+    resident = (nk + (1 if not ns_const else 0) + 1
+                + n_dirs * m + (0 if sparse_B else m)) * plane + plane
     per_chain = _PLANES_PER_CHAIN * plane + plane
     return _pick_bc(nchains, resident, per_chain)
 

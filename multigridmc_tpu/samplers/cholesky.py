@@ -21,6 +21,9 @@ Backends (replacing the CholMod/Eigen switch of ``cholesky_wrapper.hh:103-109``)
 
 from __future__ import annotations
 
+import os
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,19 +106,42 @@ def _band_matrix_stencil(op: StencilOperator):
     return _band_matrix(dataclasses.replace(op, lowrank=None))
 
 
+#: HBM budget (bytes) for the recursive-doubling level tensors; above it the
+#: factor falls back to the sequential scan (MGMC_BAND_PARALLEL_GB overrides)
+_PARALLEL_BYTES = int(
+    float(os.environ.get("MGMC_BAND_PARALLEL_GB", "4")) * 2**30
+)
+
+
 class BandFactor:
     """Device-resident blocked triangular solves for a banded Cholesky factor.
 
     The factor is computed once on host (``scipy.linalg.cholesky_banded`` -
     the band contains all fill-in, so this IS the exact sparse factor, the
     TPU-native counterpart of the reference's CholMod backend,
-    ``cholesky_wrapper.cc:10-77``); the solves run on device as a
-    ``lax.scan`` of dense (b x b) blocks - one triangular solve plus one
-    subdiagonal-block matmul per step, batched over right-hand sides on the
-    MXU.  Fully jittable.
+    ``cholesky_wrapper.cc:10-77``); the solves run on device over dense
+    (b x b) blocks, batched over right-hand sides on the MXU.  Fully jittable.
+
+    Two substitution strategies:
+
+    * sequential (``parallel=False``): a ``lax.scan`` over the ~n/b row
+      blocks - one triangular solve plus one subdiagonal matmul per step.
+      Exact but latency-bound (~2 small ops per block, serialised).
+    * recursive doubling (``parallel=True``): the block recurrence
+      ``g_i = M_i g_{i-1} + c_i`` (``M_i = -Ld_i^{-1} Ls_i``,
+      ``c_i = Ld_i^{-1} v_i``) is a parallel affine prefix; the level-l
+      products ``M^{(l)}_i = M^{(l-1)}_i M^{(l-1)}_{i-2^{l-1}}`` are
+      *data-independent*, so they are precomputed at setup and each solve is
+      just ``ceil(log2(nb))`` batched MXU matmuls
+      ``c_i += M^{(l)}_i c_{i-2^l}`` - O(log n) sequential depth instead of
+      O(n/b).  Costs ``2 L nb b^2`` floats of HBM for the level tensors
+      (auto-gated by ``MGMC_BAND_PARALLEL_GB``, default 4 GB).
+
+    ``parallel=None`` picks doubling on a TPU backend when the level tensors
+    fit the budget, the sequential scan otherwise (CPU tests, huge bands).
     """
 
-    def __init__(self, cb: np.ndarray, dtype):
+    def __init__(self, cb: np.ndarray, dtype, parallel: Optional[bool] = None):
         b, n = cb.shape[0] - 1, cb.shape[1]
         blk = max(b, 1)
         nb = -(-n // blk)
@@ -136,6 +162,64 @@ class BandFactor:
         Ls = np.where((blk + r - c <= b) & (i > 0), cbp[k2, cols], 0.0)
         self.Ld = jnp.asarray(Ld, dtype=dtype)
         self.Ls = jnp.asarray(Ls, dtype=dtype)
+        if parallel is None:
+            parallel = self._auto_parallel(dtype)
+        self.parallel = bool(parallel)
+        if self.parallel:
+            self._build_doubling()
+
+    # ------------------------------------------------ recursive doubling
+    def _auto_parallel(self, dtype) -> bool:
+        if self.nb < 8:
+            return False  # scan latency negligible; skip the level tensors
+        try:
+            if jax.default_backend() != "tpu":
+                return False
+        except RuntimeError:
+            return False
+        nlev = max(1, (self.nb - 1).bit_length())
+        bytes_needed = 2 * nlev * self.nb * self.blk * self.blk * jnp.dtype(dtype).itemsize
+        return bytes_needed <= _PARALLEL_BYTES
+
+    @staticmethod
+    def _doubling_levels(M: jax.Array, nb: int):
+        """Precompute ``M^{(l)}`` for l = 0..L-1 (data-independent)."""
+        hi = jax.lax.Precision.HIGHEST
+        levels = []
+        step = 1
+        while step < nb:
+            levels.append(M)
+            prod = jnp.einsum("nrk,nkc->nrc", M[step:], M[:-step], precision=hi)
+            M = jnp.concatenate([jnp.zeros_like(M[:step]), prod], axis=0)
+            step *= 2
+        return levels
+
+    def _build_doubling(self):
+        hi = jax.lax.Precision.HIGHEST
+        eye = jnp.eye(self.blk, dtype=self.Ld.dtype)
+        self.Linv = jax.vmap(
+            lambda L: jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        )(self.Ld)  # (nb, blk, blk)
+        # forward: g_i = M_i g_{i-1} + Linv_i v_i,  M_i = -Linv_i Ls_i
+        Mf = -jnp.einsum("nrk,nkc->nrc", self.Linv, self.Ls, precision=hi)
+        self._lev_L = self._doubling_levels(Mf, self.nb)
+        # backward: x_i = Mb_i x_{i+1} + Ld_i^{-T} v_i,
+        # Mb_i = -Ld_i^{-T} Ls_{i+1}^T = -(Ls_{i+1} Linv_i)^T; reversing the
+        # index turns it into the same forward recurrence
+        Ls_next = jnp.concatenate([self.Ls[1:], jnp.zeros_like(self.Ls[:1])], 0)
+        Mb = -jnp.einsum("nrk,nkc->ncr", Ls_next, self.Linv, precision=hi)
+        self._lev_LT = self._doubling_levels(Mb[::-1], self.nb)
+
+    @staticmethod
+    def _doubling_apply(levels, c: jax.Array) -> jax.Array:
+        """Run the precomputed affine prefix: c_i += M^{(l)}_i c_{i-2^l}."""
+        hi = jax.lax.Precision.HIGHEST
+        step = 1
+        for M in levels:
+            add = jnp.einsum("nrc,nkc->nkr", M[step:], c[:-step], precision=hi)
+            c = jnp.concatenate([c[:step], c[step:] + add], axis=0)
+            step *= 2
+        return c
 
     def _blocks(self, v: jax.Array):
         """(..., n) -> (nb, K, blk) with K the flattened batch."""
@@ -152,6 +236,10 @@ class BandFactor:
     def solve_L(self, v: jax.Array) -> jax.Array:
         """Solve ``L g = v``; v shape (..., n), any leading batch dims."""
         vb, batch = self._blocks(v)
+        if self.parallel:
+            hi = jax.lax.Precision.HIGHEST
+            c = jnp.einsum("nrc,nkc->nkr", self.Linv, vb, precision=hi)
+            return self._unblocks(self._doubling_apply(self._lev_L, c), batch)
 
         def step(g_prev, xs):
             Ld_i, Ls_i, v_i = xs
@@ -168,6 +256,13 @@ class BandFactor:
     def solve_LT(self, v: jax.Array) -> jax.Array:
         """Solve ``L^T x = v`` (reverse block substitution)."""
         vb, batch = self._blocks(v)
+        if self.parallel:
+            hi = jax.lax.Precision.HIGHEST
+            # cb_i = Ld_i^{-T} v_i = Linv_i^T v_i, then run the reversed-index
+            # forward recurrence and flip back
+            cb = jnp.einsum("ncr,nkc->nkr", self.Linv, vb, precision=hi)
+            x = self._doubling_apply(self._lev_LT, cb[::-1])[::-1]
+            return self._unblocks(x, batch)
         # x_i = Ld_i^{-T} (v_i - Ls_{i+1}^T x_{i+1})
         Ls_next = jnp.concatenate(
             [self.Ls[1:], jnp.zeros_like(self.Ls[:1])], axis=0

@@ -66,10 +66,14 @@ _PRECISIONS = {
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
-#: MXU precision of the runtime T/S matmuls.  HIGHEST (6-pass f32) keeps the
-#: distilled kernel within ~1e-6 of the composed recursion; lower settings
-#: trade statistical bias for speed and are opt-in only.
-PRECISION = _PRECISIONS[os.environ.get("MGMC_DISTILL_PRECISION", "highest")]
+#: MXU precision of the runtime T/S matmuls.  Statistically validated on TPU
+#: (native/validate_distill_precision_tpu.py, 5.12M samples per setting,
+#: paired key streams): HIGH (bf16x3) is indistinguishable from HIGHEST
+#: (paired delta-var <= 0.001%, map perturbation 1.2e-5) and ~11% faster
+#: end-to-end; DEFAULT (single bf16 pass) biases the stationary variance by
+#: +0.26-0.67% (beyond the 2e-3 reference tolerance class,
+#: ``src/sampler/test_sampler.hh:170-173``) and stays opt-in only.
+PRECISION = _PRECISIONS[os.environ.get("MGMC_DISTILL_PRECISION", "high")]
 
 
 # ------------------------------------------------------------------ sweep spec

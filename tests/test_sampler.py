@@ -405,3 +405,36 @@ def test_band_factor_device_solves():
     step = jax.jit(lambda k, x: sampler.apply(k, f, x))
     x = step(jax.random.PRNGKey(0), jnp.zeros((4,) + op.vshape))
     assert x.shape == (4,) + op.vshape and bool(jnp.isfinite(x).all())
+
+
+def test_band_factor_recursive_doubling():
+    """The recursive-doubling (parallel-prefix) substitution strategy matches
+    the sequential scan and scipy to f64 round-off for several block-count /
+    bandwidth shapes, including nb=1 (no levels) and non-divisible n."""
+    import scipy.linalg
+    from multigridmc_tpu.samplers.cholesky import BandFactor
+
+    rng = np.random.default_rng(0)
+    for n, b in [(40, 3), (65, 7), (128, 16), (30, 1), (5, 2)]:
+        A = np.zeros((n, n))
+        for i in range(n):
+            A[i, max(0, i - b):i] = rng.uniform(-0.3, 0.3, size=min(i, b))
+            A[i, i] = b + 1.0
+        Q = A @ A.T
+        ab = np.zeros((b + 1, n))
+        for k in range(b + 1):
+            ab[k, : n - k] = np.diagonal(Q, -k)
+        cb = scipy.linalg.cholesky_banded(ab, lower=True)
+        seq = BandFactor(cb, jnp.float64, parallel=False)
+        par = BandFactor(cb, jnp.float64, parallel=True)
+        v = rng.standard_normal((3, n))
+        for name in ("solve_L", "solve_LT", "solve"):
+            a = np.asarray(getattr(seq, name)(jnp.asarray(v)))
+            c = np.asarray(getattr(par, name)(jnp.asarray(v)))
+            np.testing.assert_allclose(c, a, rtol=1e-11, atol=1e-12,
+                                       err_msg=f"{name} n={n} b={b}")
+        np.testing.assert_allclose(
+            np.asarray(par.solve_L(jnp.asarray(v))),
+            scipy.linalg.solve_banded((b, 0), cb, v.T).T,
+            rtol=1e-11, atol=1e-12,
+        )
