@@ -182,34 +182,35 @@ def _apply_stencil(coeffs, x, offsets, iotas, vshape):
     return ax
 
 
-def _noisy_rhs(f, x, ns, xi_lr_ref, B_fields, m, dim):
+def _noisy_rhs(f, x, ns, xi_lr_ref, b_field, m, dim):
     """c = f + sqrt(D(2-omega)/omega) xi + sum_k xi'_k B_k (xi' pre-scaled by
     Sigma^{-1/2} outside), cf. ``sor_sampler.cc:39-56``.  ``ns`` is the noise
-    scale (a value or a static float); ``B_fields[k]`` is the k-th measurement
-    field as a ``vshape`` value (resident plane or SMEM-synthesized)."""
+    scale (a value or a static float); ``b_field(k)`` yields the k-th
+    measurement field as a ``vshape`` value (resident plane read or lazy
+    SMEM synthesis)."""
     xi = _normals(x.shape)
     c = f + ns * xi
     if m:
         xi_lr = xi_lr_ref[:]  # (bc, 1, ..., 1, m)
         for k in range(m):
-            c = c + xi_lr[..., k:k + 1] * B_fields[k][None]
+            c = c + xi_lr[..., k:k + 1] * b_field(k)[None]
     return c
 
 
-def _synth_B_fields(rows_ref, cols_ref, vals_ref, m, nz, iotas):
-    """Rebuild sparse measurement fields from SMEM scalars: B_k has ``nz``
+def _synth_B_field(rows_ref, cols_ref, vals_ref, k, nz, iotas):
+    """Rebuild ONE sparse measurement field from SMEM scalars: B_k has ``nz``
     (row, col, val) triplets (padded with row = -1, never matching the iota).
     Radius-0 measurement columns are one-hot (``measured_operator.cc:74-91``),
-    so at large extents this replaces m resident VMEM planes with VPU masks."""
-    fields = []
-    for k in range(m):
-        acc = None
-        for j in range(nz):
-            mask = (iotas[0] == rows_ref[k, j]) & (iotas[1] == cols_ref[k, j])
-            t = jnp.where(mask, vals_ref[k, j], jnp.float32(0.0))
-            acc = t if acc is None else acc + t
-        fields.append(acc)
-    return fields
+    so at large extents this replaces m resident VMEM planes with VPU masks.
+    Called lazily at each use site so the synthesized value dies immediately
+    instead of occupying a VMEM plane for the whole kernel."""
+    assert len(iotas) == 2, "sparse measurement synthesis is 2d-only"
+    acc = None
+    for j in range(nz):
+        mask = (iotas[0] == rows_ref[k, j]) & (iotas[1] == cols_ref[k, j])
+        t = jnp.where(mask, vals_ref[k, j], jnp.float32(0.0))
+        acc = t if acc is None else acc + t
+    return acc
 
 
 def _reduce_spatial(t, dim):
@@ -223,7 +224,7 @@ def _reduce_spatial(t, dim):
     return t
 
 
-def _sweeps(coeffs, x, f, params, orders, m, noise, ns, xi_lr_ref, B_fields,
+def _sweeps(coeffs, x, f, params, orders, m, noise, ns, xi_lr_ref, b_field,
             Bbar_ref, dim):
     """One visit's sweep stack: for each directed sweep d, fresh Gibbs noise,
     the colour sweep, and that direction's Woodbury correction (``Bbar_ref``
@@ -233,12 +234,12 @@ def _sweeps(coeffs, x, f, params, orders, m, noise, ns, xi_lr_ref, B_fields,
     for d, order in enumerate(orders):
         if noise:
             xi_lr_d = xi_lr_ref[..., d * m:(d + 1) * m] if m else None
-            c = _noisy_rhs(f, x, ns, xi_lr_d, B_fields, m, dim)
+            c = _noisy_rhs(f, x, ns, xi_lr_d, b_field, m, dim)
         else:
             c = f
         x = _sweep_body(coeffs, c, x, order=order, **params)
         if m:
-            btx = [_reduce_spatial(x * B_fields[k][None], dim)
+            btx = [_reduce_spatial(x * b_field(k)[None], dim)
                    for k in range(m)]
             for l in range(m):
                 x = x - btx[l] * Bbar_ref[d * m + l][None]
@@ -299,16 +300,20 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict,
         vshape = x.shape[-dim:]
         iotas = [jax.lax.broadcasted_iota(jnp.int32, vshape, d) for d in range(dim)]
         if m:
-            B_fields = (_synth_B_fields(b_rows_ref, b_cols_ref, b_vals_ref,
-                                        m, sparse_nz, iotas)
-                        if sparse_nz else [B_ref[k] for k in range(m)])
+            if sparse_nz:
+                def b_field(k):
+                    return _synth_B_field(b_rows_ref, b_cols_ref, b_vals_ref,
+                                          k, sparse_nz, iotas)
+            else:
+                def b_field(k):
+                    return B_ref[k]
         else:
-            B_fields = None
+            b_field = None
         ns = jnp.float32(ns_const) if ns_const is not None else (
             ns_ref[:] if noise else None)
 
         x, btx = _sweeps(coeffs, x, f, base_params, orders, m, noise, ns,
-                         xi_lr_ref, B_fields, Bbar_ref, dim)
+                         xi_lr_ref, b_field, Bbar_ref, dim)
         xout_ref[:] = x
 
         # residual r = f - A x  (full operator incl. low-rank term)
@@ -321,7 +326,7 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict,
                 btx2 = btx[k]
                 for l in range(m):
                     btx2 = btx2 - G_ref[k, l] * btx[l]
-                r = r - (btx2 * sinv_ref[0, k]) * B_fields[k][None]
+                r = r - (btx2 * sinv_ref[0, k]) * b_field(k)[None]
 
         if not fuse_restrict:
             # 3d (or diagnostic) variant: emit the residual, restrict outside
@@ -379,12 +384,15 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
             if sparse_nz:
                 iotas = [jax.lax.broadcasted_iota(jnp.int32, vshape, d)
                          for d in range(dim)]
-                B_fields = _synth_B_fields(b_rows_ref, b_cols_ref, b_vals_ref,
-                                           m, sparse_nz, iotas)
+
+                def b_field(k):
+                    return _synth_B_field(b_rows_ref, b_cols_ref, b_vals_ref,
+                                          k, sparse_nz, iotas)
             else:
-                B_fields = [B_ref[k] for k in range(m)]
+                def b_field(k):
+                    return B_ref[k]
         else:
-            B_fields = None
+            b_field = None
         ns = jnp.float32(ns_const) if ns_const is not None else (
             ns_ref[:] if noise else None)
 
@@ -399,7 +407,7 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
             x = x + coarse_scaling * xc_ref[:]
 
         x, _ = _sweeps(coeffs, x, f, base_params, orders, m, noise, ns,
-                       xi_lr_ref, B_fields, Bbar_ref, dim)
+                       xi_lr_ref, b_field, Bbar_ref, dim)
         xout_ref[:] = x
 
     return kernel
@@ -426,6 +434,33 @@ def _pick_bc(C, resident_bytes, per_chain_bytes, budget=None,
 def _block_seeds(key, nblocks):
     seeds = jax.vmap(seed_words)(jax.random.split(key, nblocks))
     return seeds.reshape(-1), seeds.shape[1]
+
+
+def _check_compression(coeffs, const_coeffs, nk_var, offsets, B, m, sparse_nz,
+                       vshape):
+    """Shape/dtype validation of the resident-set compression arguments
+    (advisor r3: a caller passing the full unfiltered coeffs array with
+    const_coeffs set would silently misassign planes to offsets)."""
+    if nk_var == 0:
+        if coeffs is not None:
+            raise ValueError(
+                "all stencil coefficients are baked constant: pass coeffs=None")
+    elif coeffs.shape[0] != nk_var or coeffs.shape[1:] != vshape:
+        raise ValueError(
+            f"coeffs must hold exactly the {nk_var} varying planes of "
+            f"{vshape} (offset order), got {coeffs.shape}")
+    if len(const_coeffs) != len(offsets):
+        raise ValueError("const_coeffs needs one entry per stencil offset")
+    if sparse_nz:
+        if len(vshape) != 2:
+            raise ValueError("sparse_nz measurement synthesis is 2d-only")
+        rows, cols, vals = B
+        for a, dt, nm in ((rows, jnp.int32, "rows"), (cols, jnp.int32, "cols"),
+                          (vals, jnp.float32, "vals")):
+            if a.shape != (m, sparse_nz) or a.dtype != dt:
+                raise ValueError(
+                    f"sparse B {nm} must be {dt.__name__}[{m}, {sparse_nz}], "
+                    f"got {a.dtype}{list(a.shape)}")
 
 
 def _visit_vmem_plan(vshape, nk_var, noise, ns_const, m, n_dirs, sparse_nz,
@@ -487,6 +522,8 @@ def descend_visit(
     if const_coeffs is None:
         const_coeffs = (None,) * len(offsets)
     nk_var = sum(1 for c in const_coeffs if c is None)
+    _check_compression(coeffs, const_coeffs, nk_var, offsets, B, m, sparse_nz,
+                       vshape)
     plane = _padded_plane(vshape)
     if fuse_restrict:
         vc = (Rh.shape[0], RwT.shape[1])
@@ -639,6 +676,8 @@ def ascend_visit(
     if const_coeffs is None:
         const_coeffs = (None,) * len(offsets)
     nk_var = sum(1 for c in const_coeffs if c is None)
+    _check_compression(coeffs, const_coeffs, nk_var, offsets, B, m, sparse_nz,
+                       vshape)
     vc = x_coarse.shape[1:]
     fc_plane = _padded_plane(vc)
     f_batched = f.ndim == x.ndim
@@ -755,9 +794,12 @@ def supports_visit(vshape, dtype, n_offsets, m, nchains, n_dirs=1,
     the stacked B_bar fields grow the resident set).  ``n_var_coeffs`` /
     ``ns_const`` / ``sparse_B`` mirror the wrappers' resident-set compression
     (constant coefficient planes baked static, SMEM-synthesized measurement
-    fields) - at 1023^2 with m=8 they are what makes the level fit."""
+    fields) - at 1023^2 with m=8 they are what shrinks the resident set from
+    23 to 9 planes (measured round 4; see BASELINE.md)."""
     if len(vshape) not in (2, 3) or jnp.dtype(dtype) != jnp.float32:
         return None
+    if sparse_B and len(vshape) != 2:
+        return None  # _synth_B_field masks are 2d-only
     plane = _padded_plane(vshape)
     nk = n_offsets if n_var_coeffs is None else n_var_coeffs
     # matches the wrappers' accounting (the banded R matrices are tiny)
@@ -765,6 +807,101 @@ def supports_visit(vshape, dtype, n_offsets, m, nchains, n_dirs=1,
                 + n_dirs * m + (0 if sparse_B else m)) * plane + plane
     per_chain = _PLANES_PER_CHAIN * plane + plane
     return _pick_bc(nchains, resident, per_chain)
+
+
+def compress_plan(op, omega):
+    """Detect resident-set compression opportunities for a level operator.
+
+    Returns ``(const_coeffs, ns_const, sparse_B)``:
+
+    * ``const_coeffs`` - tuple with a float per spatially-constant coefficient
+      plane (None per varying plane), or None when nothing is constant.
+      Constant-kappa FD priors (``shiftedlaplace_fd_operator.cc:33-56``) have
+      ALL planes constant; Galerkin-coarsened levels generally do not.
+    * ``ns_const`` - static float Gibbs noise scale sqrt(D (2-omega)/omega)
+      when the stencil diagonal is constant (computed in float32 to match
+      the composed path's array arithmetic exactly).
+    * ``sparse_B`` - ``(rows, cols, vals)`` int32/int32/float32 ``(m, nz)``
+      triplets when every measurement column has at most
+      ``MGMC_VISIT_SPARSE_NZ_MAX`` (default 16) nonzeros (radius-0 columns
+      are one-hot, ``measured_operator.cc:74-91``), 2d only; else None.
+
+    ``MGMC_VISIT_COMPRESS=0`` disables all three (diagnostic escape hatch).
+    """
+    import numpy as np
+
+    from ..stencil import interior_mask
+
+    if os.environ.get("MGMC_VISIT_COMPRESS", "1") == "0":
+        return None, None, None
+    coeffs = np.asarray(op.coeffs)
+    cc = []
+    for k, off in enumerate(op.offsets):
+        # constancy is judged on the interior-valid region only: where the
+        # shifted read is masked to zero the coefficient value never acts
+        # (assembly may store either 0 or the interior value there)
+        vals = coeffs[k][interior_mask(op.vshape, off) > 0]
+        if vals.size == 0:
+            cc.append(0.0)
+        elif bool(np.all(vals == vals.flat[0])):
+            cc.append(float(vals.flat[0]))
+        else:
+            cc.append(None)
+    const_coeffs = None if all(c is None for c in cc) else tuple(cc)
+    ns_const = None
+    dval = cc[op.diag_index]
+    if dval is not None:
+        ns_const = float(np.sqrt(np.float32(dval)
+                                 * np.float32((2.0 - omega) / omega)))
+    sparse_B = None
+    if op.lowrank is not None and len(op.vshape) == 2:
+        Bnp = np.asarray(op.lowrank.B)
+        m = Bnp.shape[0]
+        nz_max = int(os.environ.get("MGMC_VISIT_SPARSE_NZ_MAX", "16"))
+        counts = [int(np.count_nonzero(Bnp[k])) for k in range(m)]
+        if max(counts) <= nz_max:
+            nz = max(max(counts), 1)
+            rows = np.full((m, nz), -1, np.int32)
+            cols = np.full((m, nz), -1, np.int32)
+            vals = np.zeros((m, nz), np.float32)
+            for k in range(m):
+                r, c = np.nonzero(Bnp[k])
+                rows[k, : len(r)] = r
+                cols[k, : len(r)] = c
+                vals[k, : len(r)] = Bnp[k][r, c]
+            sparse_B = (jnp.asarray(rows), jnp.asarray(cols),
+                        jnp.asarray(vals))
+    return const_coeffs, ns_const, sparse_B
+
+
+def visit_plan(op, omega, n_dirs, nchains=16):
+    """Gating + compression decision for one level: returns
+    ``dict(const_coeffs, ns_const, sparse_B, bc)`` or None when the fused
+    visit kernels cannot handle the level even compressed.  Sparse
+    measurement synthesis costs VPU recomputation at every use site, so it
+    engages only when it enlarges the feasible chain block."""
+    if len(op.vshape) not in (2, 3) or op.coeffs.dtype != jnp.float32:
+        return None
+    const_coeffs, ns_const, sparse_B = compress_plan(op, omega)
+    n_var = (len(op.offsets) if const_coeffs is None
+             else sum(1 for c in const_coeffs if c is None))
+    m = op.m_lowrank
+    common = dict(n_dirs=n_dirs, n_var_coeffs=n_var,
+                  ns_const=ns_const is not None)
+    bc_dense = supports_visit(op.vshape, op.coeffs.dtype, len(op.offsets),
+                              m, nchains, sparse_B=False, **common)
+    bc = bc_dense
+    use_sparse = False
+    if sparse_B is not None and m:
+        bc_sparse = supports_visit(op.vshape, op.coeffs.dtype,
+                                   len(op.offsets), m, nchains,
+                                   sparse_B=True, **common)
+        if bc_sparse is not None and (bc_dense is None or bc_sparse > bc_dense):
+            use_sparse, bc = True, bc_sparse
+    if bc is None:
+        return None
+    return dict(const_coeffs=const_coeffs, ns_const=ns_const,
+                sparse_B=sparse_B if use_sparse else None, bc=bc)
 
 
 def _sweep_spec(obj):
@@ -821,12 +958,12 @@ def fused_levels_for(operators, presmoothers, postsmoothers, coarse_scaling,
             continue
         if op.lattice.nvertex < min_vertices:
             continue
-        if supports_visit(op.vshape, op.coeffs.dtype, len(op.offsets),
-                          op.m_lowrank, 16, n_dirs=len(pre[0])) is None:
+        plan = visit_plan(op, pre[3], n_dirs=len(pre[0]))
+        if plan is None:
             continue
         levels[level] = FusedVisitLevel(
             op, pre[2], pre[3], pre[0], post[0],
-            pre[1], post[1], coarse_scaling, interpret=interpret,
+            pre[1], post[1], coarse_scaling, interpret=interpret, plan=plan,
         )
     return levels
 
@@ -838,12 +975,19 @@ class FusedVisitLevel:
     wrappers)."""
 
     def __init__(self, op, coloring, omega, pre_orders, post_orders,
-                 Bbar_pre, Bbar_post, coarse_scaling, interpret=False):
+                 Bbar_pre, Bbar_post, coarse_scaling, interpret=False,
+                 plan=None):
         """``pre_orders``/``post_orders``: tuple of colour orders - one
         directed sweep per entry (SOR: one; SSOR: (forward, backward)) - with
         ``Bbar_pre``/``Bbar_post`` holding the matching stacked
         ``len(orders) * m`` Woodbury fields (or None without low rank).
-        Single orders/plain Bbar are accepted and wrapped."""
+        Single orders/plain Bbar are accepted and wrapped.
+
+        ``plan`` is the resident-set compression decision from
+        :func:`visit_plan` (computed here when omitted): constant coefficient
+        planes are baked into the kernel as static floats, a constant noise
+        scale becomes ``ns_const``, and sparse measurement columns are passed
+        as SMEM triplets instead of resident VMEM planes."""
         from ..intergrid import _restrict_matrix_1d
 
         if pre_orders and not isinstance(pre_orders[0], tuple):
@@ -899,20 +1043,39 @@ class FusedVisitLevel:
         else:
             self.B = self.Bbar_pre = self.Bbar_post = None
             self.lr_scale = self.sigma_inv = None
+        if plan is None:
+            plan = visit_plan(op, self.omega, n_dirs=len(pre_orders))
+        if plan is None:  # unsupported shape reached directly: no compression
+            plan = dict(const_coeffs=None, ns_const=None, sparse_B=None)
+        self.const_coeffs = plan["const_coeffs"]
+        self.ns_const = plan["ns_const"]
+        self._sparse_B = plan["sparse_B"]
+        if self.const_coeffs is None:
+            self._coeffs_k = op.coeffs
+        else:
+            var_idx = [k for k, c in enumerate(self.const_coeffs) if c is None]
+            self._coeffs_k = op.coeffs[jnp.asarray(var_idx)] if var_idx else None
+        self._sparse_nz = (0 if self._sparse_B is None
+                           else int(self._sparse_B[0].shape[1]))
         self._statics = dict(
             offsets=op.offsets, diag_index=op.diag_index, omega=self.omega,
             color_weights=coloring.weights, n_colors=coloring.n_colors,
-            interpret=self.interpret,
+            interpret=self.interpret, const_coeffs=self.const_coeffs,
+            ns_const=self.ns_const, sparse_nz=self._sparse_nz,
         )
         self.pre_orders = pre_orders
         self.post_orders = post_orders
+
+    def _b_arg(self):
+        return self.B if self._sparse_B is None else self._sparse_B
 
     def descend(self, key, f, x, noise=True):
         """Returns (x, f_coarse) when transfers are fused, else (x, r)."""
         sinv = None if self.B is None else (
             self.lr_scale, self.sigma_inv, self.G_pre)
+        ns = self.noise_scale if self.ns_const is None else None
         return descend_visit(
-            key, self.op.coeffs, self.noise_scale, self.B, self.Bbar_pre,
+            key, self._coeffs_k, ns, self._b_arg(), self.Bbar_pre,
             sinv, self.Rh, self.RwT, f, x,
             orders=self.pre_orders, noise=noise,
             fuse_restrict=self.fuse_transfers, **self._statics,
@@ -921,8 +1084,9 @@ class FusedVisitLevel:
     def ascend(self, key, f, x, x_coarse, noise=True):
         """``x_coarse`` is the coarse field when transfers are fused, else
         the already-prolongated fine-size ``P x_c``."""
+        ns = self.noise_scale if self.ns_const is None else None
         return ascend_visit(
-            key, self.op.coeffs, self.noise_scale, self.B, self.Bbar_post,
+            key, self._coeffs_k, ns, self._b_arg(), self.Bbar_post,
             self.lr_scale, self.RhT, self.Rw, f, x, x_coarse,
             orders=self.post_orders, coarse_scaling=self.coarse_scaling,
             noise=noise, fuse_prolongate=self.fuse_transfers, **self._statics,

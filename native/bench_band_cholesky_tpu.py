@@ -1,0 +1,123 @@
+"""Band-Cholesky sampler benchmark at config-3 scale: sequential block scan
+vs recursive-doubling (parallel-prefix) substitution.
+
+The round-2 measurement of the exact-sampler row (BASELINE.md "Direct
+Cholesky sampler vs MGMC") ran the sequential ``lax.scan`` strategy: 6.14
+ms/step at 64 chains on the 2d 256^2 posterior, latency-bound on ~255
+serialised row-block solves.  Round 3 added the recursive-doubling strategy
+(`samplers/cholesky.py:169-290`, O(log n) sequential depth, precomputed
+affine-prefix level tensors) but never benchmarked it; this script measures
+both on hardware, plus the one-time setup costs (host band factorisation,
+doubling-level build), using the same two-length slope protocol as bench.py
+(the axon tunnel adds ~30 ms fixed cost per dispatch).
+
+cf. the supernodal-solve role of
+``/root/reference/src/auxilliary/cholesky_wrapper.cc:39-77``.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+NCHAINS = 64
+NSTEPS = (10, 40)
+
+
+def slope(run, key_fn, n1, n2):
+    import jax
+
+    def force(x):
+        return float(x.ravel()[0])
+
+    ts = {}
+    for n in (n1, n2):
+        force(run(key_fn(n), n))  # compile + warmup
+        samples = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            force(run(key_fn(10 * n + i), n))
+            samples.append(time.perf_counter() - t0)
+        ts[n] = sorted(samples)[1]
+    return (ts[n2] - ts[n1]) / (n2 - n1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multigridmc_tpu.utils.runtime import configure_runtime, sampling_key
+
+    configure_runtime(default_x64=False)
+    sys.path.insert(0, str(REPO))
+    from bench import build_problem
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        op = build_problem()
+
+    import numpy as np
+    import scipy.linalg
+
+    from multigridmc_tpu.samplers.cholesky import (
+        BandCholeskySampler,
+        BandFactor,
+        _band_matrix_stencil,
+    )
+
+    # --- setup timings (host factorisation is shared; doubling build extra)
+    t0 = time.perf_counter()
+    ab, bw = _band_matrix_stencil(op)
+    cb = scipy.linalg.cholesky_banded(ab, lower=True)
+    t_factor = time.perf_counter() - t0
+    print(f"band factorisation (host, bandwidth {bw}): {t_factor:.2f} s",
+          file=sys.stderr)
+
+    results = {"bandwidth": bw, "setup_factor_s": round(t_factor, 2),
+               "nchains": NCHAINS}
+    f = jnp.asarray(
+        np.random.default_rng(0).uniform(size=op.vshape), jnp.float32)
+    x0 = jnp.zeros((NCHAINS,) + op.vshape, jnp.float32)
+
+    # one full sampler build (includes the Woodbury setup); the per-strategy
+    # factor is swapped in below, re-using the shared host band factor
+    t0 = time.perf_counter()
+    with jax.default_device(jax.devices("cpu")[0]):
+        sampler = BandCholeskySampler(op)
+    results["setup_sampler_total_s"] = round(time.perf_counter() - t0, 2)
+
+    for name, par in (("sequential", False), ("doubling", True)):
+        t0 = time.perf_counter()
+        sampler.factor = BandFactor(cb, jnp.float32, parallel=par)
+        jax.block_until_ready(sampler.factor.Ld)
+        if par:
+            jax.block_until_ready(sampler.factor._lev_L[-1])
+        t_setup = time.perf_counter() - t0
+        sampler.fix_rhs(f)
+
+        @jax.jit
+        def run(key, nsteps, sampler=sampler):
+            def step(x, i):
+                return sampler.apply(jax.random.fold_in(key, i), f, x), 0.0
+
+            x, _ = jax.lax.scan(step, x0, jnp.arange(nsteps))
+            return x
+
+        dt = slope(lambda k, n: run(k, n), sampling_key, *NSTEPS)
+        print(f"{name}: {1e3 * dt:.3f} ms/step, "
+              f"{NCHAINS / dt:,.0f} samples/s (setup {t_setup:.2f} s)",
+              file=sys.stderr)
+        results[name] = {"ms_per_step": round(1e3 * dt, 3),
+                         "samples_per_sec": round(NCHAINS / dt, 1),
+                         "setup_s": round(t_setup, 2)}
+
+    seq, dbl = results["sequential"], results["doubling"]
+    results["doubling_speedup"] = round(
+        seq["ms_per_step"] / dbl["ms_per_step"], 2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

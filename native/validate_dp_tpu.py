@@ -72,22 +72,27 @@ def main():
     n = Q.shape[0]
 
     # zero-mean protocol (BASELINE.md protocol B): sample fluctuations, the
-    # covariance is the gated quantity; plus the direct-mean A protocol check
-    nwarm, nsteps = 60, 800
+    # covariance is the gated quantity; plus the direct-mean A protocol check.
+    # Accumulate per-chunk in f32 on device (HIGHEST-precision MXU), sum the
+    # chunks in float64 on host (x64 stays off for the production sampler).
+    nwarm, chunk, nchunks = 60, 100, 8
     x = jnp.zeros((nchains,) + op.vshape, jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
 
     @jax.jit
-    def chain(x, key, nsteps):
+    def chain(x, key):
         def step(carry, i):
             x, sx, sxx = carry
             x = dp.apply(jax.random.fold_in(key, i), f, x)
-            xf = x.reshape(nchains, n).astype(jnp.float64)
-            return (x, sx + xf.sum(0), sxx + xf.T @ xf), 0.0
+            xf = x.reshape(nchains, n)
+            sxx = sxx + jax.lax.dot_general(
+                xf, xf, (((0,), (0,)), ((), ())), precision=hi)
+            return (x, sx + xf.sum(0), sxx), 0.0
 
         (x, sx, sxx), _ = jax.lax.scan(
             step,
-            (x, jnp.zeros((n,), jnp.float64), jnp.zeros((n, n), jnp.float64)),
-            jnp.arange(nsteps),
+            (x, jnp.zeros((n,), jnp.float32), jnp.zeros((n, n), jnp.float32)),
+            jnp.arange(chunk),
         )
         return x, sx, sxx
 
@@ -98,10 +103,16 @@ def main():
         return jax.lax.fori_loop(0, nwarm, body, x)
 
     x = warm(x, sampling_key(1))
-    x, sx, sxx = chain(x, sampling_key(2), nsteps)
+    sx64 = np.zeros(n)
+    sxx64 = np.zeros((n, n))
+    for ci in range(nchunks):
+        x, sx, sxx = chain(x, sampling_key(2 + ci))
+        sx64 += np.asarray(sx, np.float64)
+        sxx64 += np.asarray(sxx, np.float64)
+    nsteps = chunk * nchunks
     total = nchains * nsteps
-    Ex = np.asarray(sx) / total
-    cov_emp = np.asarray(sxx) / total - np.outer(Ex, Ex)
+    Ex = sx64 / total
+    cov_emp = sxx64 / total - np.outer(Ex, Ex)
 
     sd = np.sqrt(np.diag(cov))
     mean_err = np.max(np.abs(Ex - mean_exact))

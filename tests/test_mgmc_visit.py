@@ -282,3 +282,115 @@ def test_supports_visit_ssor_accounting_and_bbar_strictness():
             (pre.order, post.order), pre.B_bar, post.B_bar,  # not stacked
             coarse_scaling=1.0, interpret=True,
         )
+
+
+# ---------------------------------------------------------------- compression
+def test_compress_plan_detection():
+    """Constant-kappa FD prior: every plane interior-constant (boundary-masked
+    entries never act), diag -> static noise scale; radius-0 measurement
+    columns -> one-hot SMEM triplets."""
+    from multigridmc_tpu.ops.kernels.mgmc_visit_pallas import compress_plan
+
+    op, _, _, _ = _setup(lowrank=True)
+    cc, ns, sp = compress_plan(op, 1.0)
+    assert cc is not None and all(c is not None for c in cc)
+    d = float(np.asarray(op.diag_stencil())[5, 5])
+    assert ns == pytest.approx(np.sqrt(d), rel=1e-6)
+    rows, cols, vals = sp
+    assert rows.shape == (4, 1) and vals.dtype == jnp.float32
+    # triplets reproduce the dense fields
+    B = np.asarray(op.lowrank.B)
+    for k in range(4):
+        dense = np.zeros(op.vshape, np.float32)
+        dense[int(rows[k, 0]), int(cols[k, 0])] = float(vals[k, 0])
+        np.testing.assert_array_equal(dense, B[k])
+
+
+def _forced_sparse_plan(op, omega):
+    from multigridmc_tpu.ops.kernels.mgmc_visit_pallas import compress_plan
+
+    cc, ns, sp = compress_plan(op, omega)
+    assert sp is not None
+    return dict(const_coeffs=cc, ns_const=ns, sparse_B=sp, bc=4)
+
+
+def test_sparse_B_visits_match_dense(monkeypatch):
+    """SMEM-synthesized measurement fields (sparse_nz path) produce the same
+    deterministic visit as resident planes, and as the composed path."""
+    op, pre, post, fused_dense = _setup(lowrank=True)
+    coloring = pre.coloring
+    fused_sp = FusedVisitLevel(
+        op, coloring, 1.0, pre.order, post.order, pre.B_bar, post.B_bar,
+        coarse_scaling=0.75, interpret=True,
+        plan=_forced_sparse_plan(op, 1.0),
+    )
+    assert fused_sp._sparse_nz == 1
+    rng = np.random.default_rng(11)
+    C = 4
+    f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + op.vshape), jnp.float32)
+
+    dx, dfc = fused_dense.descend(jax.random.key(0), f, x, noise=False)
+    sx, sfc = fused_sp.descend(jax.random.key(0), f, x, noise=False)
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(dx), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sfc), np.asarray(dfc), rtol=1e-6, atol=1e-6)
+
+    vc = tuple(m // 2 for m in op.vshape)
+    xc = jnp.asarray(rng.normal(size=(C,) + vc), jnp.float32)
+    da = fused_dense.ascend(jax.random.key(0), f, x, xc, noise=False)
+    sa = fused_sp.ascend(jax.random.key(0), f, x, xc, noise=False)
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(da), rtol=1e-6, atol=1e-6)
+
+    # and against the fully composed reference path
+    exp_x = pre.apply(f, x)
+    exp_fc = restrict(f - op.apply(exp_x), dim=2)
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(exp_x), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sfc), np.asarray(exp_fc), rtol=2e-5, atol=2e-5)
+
+
+def test_compression_disabled_matches(monkeypatch):
+    """MGMC_VISIT_COMPRESS=0 (resident planes for everything) is elementwise
+    identical to the compressed default."""
+    op, pre, post, fused_c = _setup(lowrank=True)
+    assert fused_c.const_coeffs is not None and fused_c.ns_const is not None
+    monkeypatch.setenv("MGMC_VISIT_COMPRESS", "0")
+    fused_u = FusedVisitLevel(
+        op, pre.coloring, 1.0, pre.order, post.order, pre.B_bar, post.B_bar,
+        coarse_scaling=0.75, interpret=True,
+    )
+    assert fused_u.const_coeffs is None and fused_u.ns_const is None
+    rng = np.random.default_rng(12)
+    C = 4
+    f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + op.vshape), jnp.float32)
+    cx, cfc = fused_c.descend(jax.random.key(0), f, x, noise=False)
+    ux, ufc = fused_u.descend(jax.random.key(0), f, x, noise=False)
+    # baked scalars reassociate the f32 arithmetic slightly (multiply by a
+    # splat plane vs a scalar constant) - equal to f32 rounding, not bitwise
+    np.testing.assert_allclose(np.asarray(cx), np.asarray(ux),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cfc), np.asarray(ufc),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_compression_validation_errors():
+    """Advisor r3: passing the full unfiltered coeffs array alongside
+    const_coeffs must raise, as must malformed sparse triplets / 3d sparse."""
+    from multigridmc_tpu.ops.kernels.mgmc_visit_pallas import (
+        descend_visit,
+        supports_visit,
+    )
+
+    op, pre, _, fused = _setup(lowrank=False)
+    assert fused._coeffs_k is None  # all planes baked constant
+    rng = np.random.default_rng(13)
+    f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(4,) + op.vshape), jnp.float32)
+    with pytest.raises(ValueError, match="pass coeffs=None"):
+        descend_visit(
+            jax.random.key(0), op.coeffs, None, None, None, None,
+            fused.Rh, fused.RwT, f, x,
+            orders=fused.pre_orders, noise=False, **fused._statics,
+        )
+    # sparse synthesis is 2d-only
+    assert supports_visit((8, 8, 8), jnp.float32, 7, 2, 4, sparse_B=True) is None
