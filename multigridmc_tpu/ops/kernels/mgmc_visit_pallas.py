@@ -119,10 +119,13 @@ def _vmem_budget() -> int:
     return (6 * _vmem_limit()) // 7
 
 
-#: measured Mosaic stack usage per chain in the visit kernels: ~14 padded
-#: planes of temporaries (noise, sweep phases, residual) on top of the
-#: in/out blocks - budget 16 planes per chain
-_PLANES_PER_CHAIN = 16
+#: per-chain VMEM plane budget (in/out blocks + Mosaic temporaries).  Round 4
+#: measured the true footprint at the VMEM edge: the 1023^2 m=8 visit (42 MB
+#: resident after compression) compiles AND runs at the default 112 MB limit,
+#: so the earlier 16-plane estimate was pessimistic - 12 admits it and every
+#: admitted shape still compiles (native/probe_visit_1024_tpu.py).
+#: MGMC_VISIT_PLANES=16 restores the conservative gate.
+_PLANES_PER_CHAIN = int(os.environ.get("MGMC_VISIT_PLANES", "12"))
 
 
 def _padded_plane(vshape):

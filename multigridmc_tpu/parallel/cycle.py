@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -281,6 +282,7 @@ class ShardedMGMCSampler:
         noise_mode: str = "sharded",
         deterministic: bool = False,
         hierarchy: Optional[MultigridHierarchy] = None,
+        distill: object = "auto",
     ):
         if smoother.upper() not in ("SOR", "SSOR"):
             raise ValueError(f"invalid smoother '{smoother}'")
@@ -346,7 +348,100 @@ class ShardedMGMCSampler:
         elif self.coarse_solver != "ssor":
             raise ValueError(f"invalid coarse sampler '{coarse_solver}'")
 
+        self.distilled = None
+        self.distill_level: Optional[int] = None
+        self._build_distilled(hierarchy, flags, distill)
         self._apply = self._make_apply()
+
+    # ----------------------------------------------------------- distillation
+    def _build_distilled(self, hierarchy, flags, distill):
+        """Distil the *replicated* coarse subtree (VERDICT r3 #5): below the
+        agglomeration threshold every shard executes the identical replicated
+        recursion (``multigridmc_sampler.cc:105-109``), which is exactly the
+        single-device affine-Gaussian subtree of :mod:`samplers.distill` - so
+        swap it for the (replicated) ``x = T f + S xi`` map, deleting the
+        latency-bound sub-level tail from the multi-chip path.
+
+        Engaged only in ``"sharded"`` (production) noise mode: the map draws
+        its noise differently from the composed recursion, so the ``"global"``
+        validation mode (bitwise mesh-shape equivalence, whose distill level
+        would also differ between mesh shapes) keeps the composed levels.
+        Auto mode requires a non-CPU backend (like the single-chip gate);
+        ``distill=True`` forces (CPU statistical tests), ``MGMC_DISTILL=0/1``
+        overrides everything."""
+        if self.deterministic or self.coarse_solver != "cholesky":
+            return
+        if self.noise_mode != "sharded":
+            return
+        if self.smoother not in ("SOR", "SSOR"):
+            return
+        flag = os.environ.get("MGMC_DISTILL", "")
+        if flag == "0" or (distill is False and flag != "1"):
+            return
+        if flag != "1" and distill is not True:
+            try:
+                if jax.default_backend() == "cpu":
+                    return
+            except RuntimeError:
+                return
+        from ..samplers.distill import distill_subtree, pick_distill_level
+
+        li = pick_distill_level(hierarchy.operators)
+        if li is None:
+            return
+        # the map executes replicated: advance to the first replicated level
+        while li < self.nlevel - 1 and flags[li]:
+            li += 1
+        if li >= self.nlevel - 1:
+            return  # only the coarsest qualifies: a matmul replaces a matmul
+        from ..samplers.cholesky import DenseCholeskySampler
+        from ..samplers.sor import SORSampler, SSORSampler
+
+        ops = hierarchy.operators
+        pres, posts = [], []
+        for lop in ops[li:]:
+            if self.smoother == "SOR":
+                pres.append(SORSampler(lop, self.omega, self.npresmooth, FORWARD))
+                posts.append(SORSampler(lop, self.omega, self.npostsmooth, BACKWARD))
+            else:
+                pres.append(SSORSampler(lop, self.omega, self.npresmooth))
+                posts.append(SSORSampler(lop, self.omega, self.npostsmooth))
+        import contextlib
+
+        try:
+            accel = [d for d in jax.devices() if d.platform != "cpu"]
+        except RuntimeError:
+            accel = []
+        ctx = jax.default_device(accel[0]) if accel else contextlib.nullcontext()
+        with ctx:
+            self.distilled = distill_subtree(
+                ops[li:], pres, posts, DenseCholeskySampler(ops[-1]),
+                self.cycle, self.coarse_scaling, noise=True,
+            )
+        self.distill_level = li
+        self._distill_vshape = ops[li].vshape
+        # ship T/S through the shard_map params (replicated constants)
+        self.levels[li].arrays["distill_Tm"] = np.asarray(self.distilled.Tm)
+        self.levels[li].arrays["distill_ST"] = np.asarray(self.distilled.S_T)
+
+    def _distilled_apply(self, key, fc, p, chains_total):
+        """One replicated subtree invocation ``x = T f + S xi`` on the padded
+        layout (production per-shard noise: fold only the chains shard - all
+        lattice shards must produce the identical replicated value)."""
+        dim = self.dim
+        vshape = self._distill_vshape
+        Tm, S_T = p["distill_Tm"], p["distill_ST"]
+        fc_u = unpad_field(fc, vshape)
+        batch = fc_u.shape[: fc_u.ndim - dim]
+        n = Tm.shape[0]
+        fl = fc_u.reshape(batch + (n,))
+        prec = self.distilled.precision
+        x = jnp.tensordot(fl, Tm, axes=([fl.ndim - 1], [0]), precision=prec)
+        k = (jax.random.fold_in(key, jax.lax.axis_index(self.chains_axis))
+             if self.chains_axis else key)
+        xi = jax.random.normal(k, batch + (n,), dtype=fc.dtype)
+        x = x + jnp.tensordot(xi, S_T, axes=([xi.ndim - 1], [0]), precision=prec)
+        return pad_field(x.reshape(batch + vshape), vshape)
 
     # ------------------------------------------------------------------ specs
     def _lattice_spec(self, level: _Level, leading: int = 0) -> P:
@@ -628,8 +723,13 @@ class ShardedMGMCSampler:
                     precision=jax.lax.Precision.HIGHEST,
                 )
             f_c = self._restrict(lv, self.levels[level + 1], params[level + 1], r)
-            x_c = jnp.zeros_like(f_c)
-            x_c = self._sample(level + 1, params, kcoarse, f_c, x_c, chains_total)
+            if self.distilled is not None and level + 1 == self.distill_level:
+                x_c = self._distilled_apply(
+                    kcoarse, f_c, params[level + 1], chains_total)
+            else:
+                x_c = jnp.zeros_like(f_c)
+                x_c = self._sample(
+                    level + 1, params, kcoarse, f_c, x_c, chains_total)
             x = self._prolongate_add(lv, self.levels[level + 1], x_c, x)
             x = self._gibbs_sweeps(
                 lv, p, kpost, f, x, BACKWARD, self.npostsmooth, chains_total
