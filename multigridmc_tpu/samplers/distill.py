@@ -58,8 +58,21 @@ from ..smoothers import sor_sweep
 _HI = jax.lax.Precision.HIGHEST
 
 #: largest sub-level vertex count distilled by default (n^2 matrix storage,
-#: C n^2 MACs per invocation; 4160 admits the 63^2/64^2-cell levels)
-MAX_N = int(os.environ.get("MGMC_DISTILL_MAX_N", "4160"))
+#: C n^2 MACs per invocation; 4160 admits the 63^2/64^2-cell levels).  None =
+#: resolve per device kind via utils.autotune (known-chip table + one-shot
+#: cached slope probe: the crossover is where streaming 2 n^2 floats of T/S
+#: per step exceeds the latency-bound composed subtree).  An int here (env
+#: MGMC_DISTILL_MAX_N or a monkeypatch) wins unconditionally.
+MAX_N = (int(os.environ["MGMC_DISTILL_MAX_N"])
+         if os.environ.get("MGMC_DISTILL_MAX_N") else None)
+
+
+def default_max_n() -> int:
+    if MAX_N is not None:
+        return int(MAX_N)
+    from ..utils.autotune import distill_max_n
+
+    return distill_max_n()
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
@@ -342,7 +355,7 @@ def pick_distill_level(operators: Sequence[StencilOperator],
     budget; None if no strict sub-level qualifies or the hierarchy is too
     shallow to benefit (distilling only the coarsest level would replace a
     single Cholesky sample with an equal-cost matmul)."""
-    max_n = MAX_N if max_n is None else max_n
+    max_n = default_max_n() if max_n is None else max_n
     for li in range(1, len(operators) - 1):
         if operators[li].lattice.nvertex <= max_n:
             return li

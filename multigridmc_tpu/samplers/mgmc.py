@@ -47,9 +47,21 @@ from .sor import SORSampler, SSORSampler
 #: smallest level size (vertex count) for which a fused level-visit Pallas
 #: kernel beats the composed XLA visit.  Slope-measured on v5e at 256 chains
 #: (NOTES_R2.md): 255^2 (65k) fused wins 1.5x, 127^2 (16k) and below lose
-#: 2-5x (per-block overhead plus XLA's batched intergrid matmuls outpace the
-#: in-kernel per-chain ones).
-MIN_FUSED_VERTICES = int(os.environ.get("MGMC_FUSED_MIN_VERTICES", "40000"))
+#: (per-block overhead plus XLA's batched intergrid matmuls outpace the
+#: in-kernel per-chain ones).  None = resolve per device kind via
+#: utils.autotune (known-chip table + one-shot cached slope probe on unknown
+#: generations); an int here (env MGMC_FUSED_MIN_VERTICES or a script
+#: monkeypatch) wins unconditionally.
+MIN_FUSED_VERTICES = (int(os.environ["MGMC_FUSED_MIN_VERTICES"])
+                      if os.environ.get("MGMC_FUSED_MIN_VERTICES") else None)
+
+
+def default_min_fused_vertices() -> int:
+    if MIN_FUSED_VERTICES is not None:
+        return int(MIN_FUSED_VERTICES)
+    from ..utils.autotune import fused_min_vertices
+
+    return fused_min_vertices()
 
 
 class MultigridMCSampler(Sampler):
@@ -116,7 +128,8 @@ class MultigridMCSampler(Sampler):
 
         self._fused_opts = dict(
             force=None if fused == "auto" else bool(fused),
-            min_vertices=(MIN_FUSED_VERTICES if fused_min_vertices is None
+            min_vertices=(default_min_fused_vertices()
+                          if fused_min_vertices is None
                           else int(fused_min_vertices)),
             interpret=bool(fused_interpret),
         )

@@ -94,13 +94,13 @@ class MultigridPreconditioner:
         # a single TPU device, large-enough SOR levels).
         self.fused_levels = {}
         if smoother in ("SOR", "SSOR") and npresmooth == 1 and npostsmooth == 1:
-            from ..samplers.mgmc import MIN_FUSED_VERTICES
+            from ..samplers.mgmc import default_min_fused_vertices
             from ..ops.kernels.mgmc_visit_pallas import fused_levels_for
 
             self.fused_levels = fused_levels_for(
                 self.hierarchy.operators, self.presmoothers,
                 self.postsmoothers, self.coarse_scaling,
-                MIN_FUSED_VERTICES if fused_min_vertices is None
+                default_min_fused_vertices() if fused_min_vertices is None
                 else int(fused_min_vertices),
                 interpret=bool(fused_interpret),
                 force=None if fused == "auto" else bool(fused),

@@ -42,6 +42,8 @@ CHUNK = 500  # steps per dispatch; host accumulates in f64 across chunks
 
 def main():
     nsteps = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    # round up to one full chunk (advisor r3: nsteps < CHUNK made total = 0)
+    nsteps = max(nsteps, CHUNK)
     import bench
     from multigridmc_tpu.models.posterior import (
         measurement_vector,
@@ -118,7 +120,11 @@ def main():
             def step(carry, k):
                 x, sz, szz = carry
                 x = sampler.apply(jax.random.fold_in(key, base + k), fz, x)
-                z = jnp.tensordot(x, W, axes=([1, 2], [1, 2]))  # (C, P)
+                # HIGHEST: the observable projection must not inject its own
+                # bf16 rounding while adjudicating 1e-3-level variance
+                # effects (advisor r3)
+                z = jnp.tensordot(x, W, axes=([1, 2], [1, 2]),
+                                  precision=jax.lax.Precision.HIGHEST)  # (C, P)
                 return (x, sz + z.sum(0), szz + (z * z).sum(0)), 0.0
             P = W.shape[0]
             (x, sz, szz), _ = jax.lax.scan(

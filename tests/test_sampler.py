@@ -438,3 +438,60 @@ def test_band_factor_recursive_doubling():
             scipy.linalg.solve_banded((b, 0), cb, v.T).T,
             rtol=1e-11, atol=1e-12,
         )
+
+
+def test_band_factor_doubling_f32_ill_conditioned():
+    """Advisor r3: the auto-enabled doubling strategy changes production
+    solve numerics (explicit prefix products M^(l) can amplify rounding), and
+    accuracy was only gated at f64 on well-conditioned bands.  Gate the f32
+    residual ||L g - v|| / ||v|| on a production-like band: the 2d FD
+    posterior precision at 32^2 (bandwidth 31, kappa^2 ~ 25 vs off-diag
+    ~ -1024: locally dominant but globally ill-conditioned, cond(Q) ~ 1e4)
+    and a deliberately weakly-dominant synthetic band."""
+    import scipy.linalg
+    from multigridmc_tpu.samplers.cholesky import BandFactor, _band_matrix_stencil
+
+    from multigridmc_tpu.lattice import Lattice
+    from multigridmc_tpu.models.correlation import ConstantCorrelationLengthModel
+    from multigridmc_tpu.models.prior import shiftedlaplace_fd
+
+    rng = np.random.default_rng(7)
+
+    def check(cb, b, n, label, tol):
+        seq = BandFactor(cb.astype(np.float32), jnp.float32, parallel=False)
+        par = BandFactor(cb.astype(np.float32), jnp.float32, parallel=True)
+        v = rng.standard_normal((4, n)).astype(np.float32)
+        g_seq = np.asarray(seq.solve_L(jnp.asarray(v)), np.float64)
+        g_par = np.asarray(par.solve_L(jnp.asarray(v)), np.float64)
+        # residual of the doubling solve against the f64 band operator
+        L = np.zeros((n, n))
+        for k in range(b + 1):
+            L[np.arange(k, n), np.arange(n - k)] = cb[k, : n - k]
+        for name, g in (("seq", g_seq), ("par", g_par)):
+            r = np.linalg.norm(g @ L.T - v, axis=1) / np.linalg.norm(v, axis=1)
+            assert np.max(r) < tol, (label, name, np.max(r))
+        # and the doubling must not be materially worse than the scan
+        r_seq = np.linalg.norm(g_seq @ L.T - v) / np.linalg.norm(v)
+        r_par = np.linalg.norm(g_par @ L.T - v) / np.linalg.norm(v)
+        assert r_par < 50 * max(r_seq, 1e-7), (label, r_seq, r_par)
+
+    # production-like: 32^2 FD prior precision band (the BandCholeskySampler
+    # factors exactly this stencil part)
+    lattice = Lattice((32, 32))
+    op = shiftedlaplace_fd(lattice, ConstantCorrelationLengthModel(0.2))
+    ab, b = _band_matrix_stencil(op)
+    cb = scipy.linalg.cholesky_banded(ab, lower=True)
+    check(cb, b, ab.shape[1], "fd32", 5e-4)
+
+    # weakly dominant synthetic band (diag barely exceeds the row sum)
+    n, b2 = 96, 6
+    A = np.zeros((n, n))
+    for i in range(n):
+        A[i, max(0, i - b2):i] = rng.uniform(-1.0, 1.0, size=min(i, b2))
+        A[i, i] = 1.05 * (np.abs(A[i, max(0, i - b2):i]).sum() + 0.1)
+    Q = A @ A.T
+    ab2 = np.zeros((b2 + 1, n))
+    for k in range(b2 + 1):
+        ab2[k, : n - k] = np.diagonal(Q, -k)
+    cb2 = scipy.linalg.cholesky_banded(ab2, lower=True)
+    check(cb2, b2, n, "weak", 1e-3)
