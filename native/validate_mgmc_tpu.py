@@ -7,7 +7,10 @@ the observed mean and variance of a point observation z = w^T x against the
 exact posterior values computed on the host in float64 - the same oracle as
 ``measure_sampling_time`` (``driver_mgmc.cc:40-107``).
 
-Run: ``python native/validate_mgmc_tpu.py`` (sole TPU client!).
+Run: ``python native/validate_mgmc_tpu.py [total_steps]`` (sole TPU client!).
+``total_steps`` (default 400, x 128 chains) is rounded up to a multiple of
+the 400-step dispatch chunk; chunks accumulate in float64 on host (the
+long-assurance runs use 3200 -> 409,600 samples).
 """
 
 import sys
@@ -69,6 +72,8 @@ def main():
     wj = jnp.asarray(w, dtype=op.coeffs.dtype)
 
     nchains, nwarmup, nsteps = 128, 40, 400
+    nchunks = max(1, -(-(int(sys.argv[1]) if len(sys.argv) > 1 else 400)
+                       // nsteps))
     dev = jax.devices()[0]
     f = jax.device_put(f, dev)
     x = jax.device_put(jnp.zeros((nchains,) + op.lattice.vshape, dtype=op.coeffs.dtype), dev)
@@ -91,12 +96,14 @@ def main():
         (x, sz, szz), _ = jax.lax.scan(
             step, (x, jnp.float32(0), jnp.float32(0)), jnp.arange(nsteps)
         )
-        return sz, szz
+        return x, sz, szz
 
     from multigridmc_tpu.utils.runtime import sampling_key
     key = sampling_key(5418513)
-    total = nchains * nsteps
+    total = nchains * nsteps * nchunks
     stat_err = np.sqrt(z_var_exact / total)  # ignores IACT, chains are near-iid
+    log(f"collecting {total} samples ({nchunks} chunks x {nsteps} steps "
+        f"x {nchains} chains)")
 
     # ---- protocol A: direct rhs f (reference semantics). With near-exact
     # measurements cond(Q) ~ 1e6, so the implicit mean solve in float32 carries
@@ -104,10 +111,13 @@ def main():
     xa = warm(x, jax.random.fold_in(key, 0))
     jax.block_until_ready(xa)
     log("A: warmup done")
-    sz, szz = collect(xa, jax.random.fold_in(key, 1))
-    jax.block_until_ready(sz)
-    z_mean = float(sz) / total
-    z_var = float(szz) / total - z_mean**2
+    sz64 = szz64 = 0.0
+    for ci in range(nchunks):
+        xa, sz, szz = collect(xa, jax.random.fold_in(key, 1 + 100 * ci))
+        sz64 += float(sz)
+        szz64 += float(szz)
+    z_mean = sz64 / total
+    z_var = szz64 / total - z_mean**2
     log(f"A direct-f: mean={z_mean:.6e} (exact {z_mean_exact:.6e}, "
         f"err {abs(z_mean - z_mean_exact):.3e}, stat {3 * stat_err:.3e})")
     rel_var_err = abs(z_var - z_var_exact) / z_var_exact
@@ -139,15 +149,18 @@ def main():
         (x, sz, szz), _ = jax.lax.scan(
             step, (x, jnp.float32(0), jnp.float32(0)), jnp.arange(nsteps)
         )
-        return sz, szz
+        return x, sz, szz
 
     xb = warm0(jnp.zeros_like(x), jax.random.fold_in(key, 2))
     jax.block_until_ready(xb)
     log("B: warmup done")
-    sz0, szz0 = collect0(xb, jax.random.fold_in(key, 3))
-    jax.block_until_ready(sz0)
-    e_mean = float(sz0) / total
-    e_var = float(szz0) / total - e_mean**2
+    sz64 = szz64 = 0.0
+    for ci in range(nchunks):
+        xb, sz0, szz0 = collect0(xb, jax.random.fold_in(key, 3 + 100 * ci))
+        sz64 += float(sz0)
+        szz64 += float(szz0)
+    e_mean = sz64 / total
+    e_var = szz64 / total - e_mean**2
     z_mean_shifted = float(np.vdot(w, mean_exact_field)) + e_mean
     log(f"B zero-mean+shift: mean={z_mean_shifted:.6e} "
         f"(err {abs(z_mean_shifted - z_mean_exact):.3e}, stat {3 * stat_err:.3e})")
