@@ -467,7 +467,7 @@ def _check_compression(coeffs, const_coeffs, nk_var, offsets, B, m, sparse_nz,
 
 
 def _visit_vmem_plan(vshape, nk_var, noise, ns_const, m, n_dirs, sparse_nz,
-                     f_batched, C, r_bytes, fc_plane):
+                     f_batched, C, r_bytes, fc_plane, bc_max=None):
     """Shared VMEM accounting for the visit kernels: resident planes are the
     varying coefficient planes, the noise-scale plane (unless constant), the
     Woodbury fields, and the measurement fields (unless SMEM-synthesized)."""
@@ -476,20 +476,20 @@ def _visit_vmem_plan(vshape, nk_var, noise, ns_const, m, n_dirs, sparse_nz,
                 + n_dirs * m + (0 if sparse_nz else m)
                 + (0 if f_batched else 1)) * plane + r_bytes
     per_chain = (_PLANES_PER_CHAIN + (1 if f_batched else 0)) * plane + fc_plane
-    return _pick_bc(C, resident, per_chain)
+    return _pick_bc(C, resident, per_chain, bc_max=bc_max)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("offsets", "diag_index", "omega", "orders", "color_weights",
                      "n_colors", "noise", "fuse_restrict", "interpret",
-                     "const_coeffs", "ns_const", "sparse_nz"),
+                     "const_coeffs", "ns_const", "sparse_nz", "bc_max"),
 )
 def descend_visit(
     key, coeffs, noise_scale, B, Bbar, sinv, Rh, RwT, f, x, *,
     offsets, diag_index, omega, orders, color_weights, n_colors,
     noise=True, fuse_restrict=True, interpret=False,
-    const_coeffs=None, ns_const=None, sparse_nz=0,
+    const_coeffs=None, ns_const=None, sparse_nz=0, bc_max=None,
 ):
     """One fused descend visit.  Returns ``(x_new, f_coarse)`` - or
     ``(x_new, r)`` with ``fuse_restrict=False`` (3d: the tensor-product
@@ -537,7 +537,8 @@ def descend_visit(
     fc_plane = _padded_plane(vc)
     f_batched = f.ndim == x.ndim
     bc = _visit_vmem_plan(vshape, nk_var, noise, ns_const, m, n_dirs,
-                          sparse_nz, f_batched, C, r_bytes, fc_plane)
+                          sparse_nz, f_batched, C, r_bytes, fc_plane,
+                          bc_max=bc_max)
     if bc is None:
         raise ValueError(f"visit kernel does not fit VMEM for C={C}, v={vshape}")
     nblocks = C // bc
@@ -655,13 +656,14 @@ def descend_visit(
     jax.jit,
     static_argnames=("offsets", "diag_index", "omega", "orders", "color_weights",
                      "n_colors", "coarse_scaling", "noise", "fuse_prolongate",
-                     "interpret", "const_coeffs", "ns_const", "sparse_nz"),
+                     "interpret", "const_coeffs", "ns_const", "sparse_nz",
+                     "bc_max"),
 )
 def ascend_visit(
     key, coeffs, noise_scale, B, Bbar, lr_scale, RhT, Rw, f, x, x_coarse, *,
     offsets, diag_index, omega, orders, color_weights, n_colors,
     coarse_scaling=1.0, noise=True, fuse_prolongate=True, interpret=False,
-    const_coeffs=None, ns_const=None, sparse_nz=0,
+    const_coeffs=None, ns_const=None, sparse_nz=0, bc_max=None,
 ):
     """One fused ascend visit: ``x += gamma P x_c`` then the post Gibbs
     sweep(s) (+ Woodbury per sweep; ``orders``/stacked ``Bbar`` as in
@@ -686,7 +688,8 @@ def ascend_visit(
     f_batched = f.ndim == x.ndim
     r_bytes = 4 * (RhT.size + Rw.size) if fuse_prolongate else 0
     bc = _visit_vmem_plan(vshape, nk_var, noise, ns_const, m, n_dirs,
-                          sparse_nz, f_batched, C, r_bytes, fc_plane)
+                          sparse_nz, f_batched, C, r_bytes, fc_plane,
+                          bc_max=bc_max)
     if bc is None:
         raise ValueError(f"visit kernel does not fit VMEM for C={C}, v={vshape}")
     nblocks = C // bc
@@ -1060,6 +1063,10 @@ class FusedVisitLevel:
             self._coeffs_k = op.coeffs[jnp.asarray(var_idx)] if var_idx else None
         self._sparse_nz = (0 if self._sparse_B is None
                            else int(self._sparse_B[0].shape[1]))
+        #: per-level chain-block cap (None = global _BC_MAX); settable for
+        #: per-level tuning (small levels amortize per-block overhead better
+        #: with larger blocks)
+        self.bc_max = None
         self._statics = dict(
             offsets=op.offsets, diag_index=op.diag_index, omega=self.omega,
             color_weights=coloring.weights, n_colors=coloring.n_colors,
@@ -1081,7 +1088,8 @@ class FusedVisitLevel:
             key, self._coeffs_k, ns, self._b_arg(), self.Bbar_pre,
             sinv, self.Rh, self.RwT, f, x,
             orders=self.pre_orders, noise=noise,
-            fuse_restrict=self.fuse_transfers, **self._statics,
+            fuse_restrict=self.fuse_transfers, bc_max=self.bc_max,
+            **self._statics,
         )
 
     def ascend(self, key, f, x, x_coarse, noise=True):
@@ -1092,5 +1100,6 @@ class FusedVisitLevel:
             key, self._coeffs_k, ns, self._b_arg(), self.Bbar_post,
             self.lr_scale, self.RhT, self.Rw, f, x, x_coarse,
             orders=self.post_orders, coarse_scaling=self.coarse_scaling,
-            noise=noise, fuse_prolongate=self.fuse_transfers, **self._statics,
+            noise=noise, fuse_prolongate=self.fuse_transfers,
+            bc_max=self.bc_max, **self._statics,
         )

@@ -16,10 +16,12 @@ import jax
 import jax.numpy as jnp
 from multigridmc_tpu.utils.runtime import sampling_key
 
-NX = 64
-NLEVEL = 4
+import os
+
+NX = int(os.environ.get("MGMC_BENCH3D_NX", "64"))
+NLEVEL = int(os.environ.get("MGMC_BENCH3D_NLEVEL", "4"))
 CYCLE = 2
-NCHAINS = 32
+NCHAINS = int(os.environ.get("MGMC_BENCH3D_NCHAINS", "32"))
 # two-length device-loop slope (the axon tunnel adds ~30 ms per dispatch;
 # see NOTES_R2.md "LATE-ROUND CORRECTION")
 K1, K2 = 10, 40
@@ -86,7 +88,8 @@ def main():
         log(
             f"nchains={nchains}: {nchains / dt:.1f} samples/s "
             f"({dt * 1e3:.2f} ms/step, slope; fused levels: "
-            f"{sorted(sampler.fused_levels)})"
+            f"{sorted(sampler.fused_levels)}, distill level: "
+            f"{sampler.distill_level})"
         )
 
 
