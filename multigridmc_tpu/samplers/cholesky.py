@@ -195,20 +195,33 @@ class BandFactor:
         return levels
 
     def _build_doubling(self):
-        hi = jax.lax.Precision.HIGHEST
-        eye = jnp.eye(self.blk, dtype=self.Ld.dtype)
-        self.Linv = jax.vmap(
-            lambda L: jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-        )(self.Ld)  # (nb, blk, blk)
-        # forward: g_i = M_i g_{i-1} + Linv_i v_i,  M_i = -Linv_i Ls_i
-        Mf = -jnp.einsum("nrk,nkc->nrc", self.Linv, self.Ls, precision=hi)
-        self._lev_L = self._doubling_levels(Mf, self.nb)
-        # backward: x_i = Mb_i x_{i+1} + Ld_i^{-T} v_i,
-        # Mb_i = -Ld_i^{-T} Ls_{i+1}^T = -(Ls_{i+1} Linv_i)^T; reversing the
-        # index turns it into the same forward recurrence
-        Ls_next = jnp.concatenate([self.Ls[1:], jnp.zeros_like(self.Ls[:1])], 0)
-        Mb = -jnp.einsum("nrk,nkc->ncr", Ls_next, self.Linv, precision=hi)
-        self._lev_LT = self._doubling_levels(Mb[::-1], self.nb)
+        # one jitted program for the whole level-tensor build: built eagerly
+        # this is ~16 distinct remote compiles (one per level shape) behind
+        # the axon tunnel - minutes of setup and enough load to break the
+        # remote-compile service (round-4 band bench)
+        nb = self.nb
+
+        @jax.jit
+        def build(Ld, Ls):
+            hi = jax.lax.Precision.HIGHEST
+            eye = jnp.eye(Ld.shape[-1], dtype=Ld.dtype)
+            Linv = jax.vmap(
+                lambda L: jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            )(Ld)  # (nb, blk, blk)
+            # forward: g_i = M_i g_{i-1} + Linv_i v_i,  M_i = -Linv_i Ls_i
+            Mf = -jnp.einsum("nrk,nkc->nrc", Linv, Ls, precision=hi)
+            lev_L = self._doubling_levels(Mf, nb)
+            # backward: x_i = Mb_i x_{i+1} + Ld_i^{-T} v_i,
+            # Mb_i = -Ld_i^{-T} Ls_{i+1}^T = -(Ls_{i+1} Linv_i)^T; reversing
+            # the index turns it into the same forward recurrence
+            Ls_next = jnp.concatenate([Ls[1:], jnp.zeros_like(Ls[:1])], 0)
+            Mb = -jnp.einsum("nrk,nkc->ncr", Ls_next, Linv, precision=hi)
+            lev_LT = self._doubling_levels(Mb[::-1], nb)
+            return Linv, tuple(lev_L), tuple(lev_LT)
+
+        self.Linv, self._lev_L, self._lev_LT = build(self.Ld, self.Ls)
+        self._lev_L = list(self._lev_L)
+        self._lev_LT = list(self._lev_LT)
 
     @staticmethod
     def _doubling_apply(levels, c: jax.Array) -> jax.Array:

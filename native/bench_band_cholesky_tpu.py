@@ -15,6 +15,7 @@ cf. the supernodal-solve role of
 ``/root/reference/src/auxilliary/cholesky_wrapper.cc:39-77``.
 """
 
+import functools
 import json
 import sys
 import time
@@ -82,22 +83,53 @@ def main():
     x0 = jnp.zeros((NCHAINS,) + op.vshape, jnp.float32)
 
     # one full sampler build (includes the Woodbury setup); the per-strategy
-    # factor is swapped in below, re-using the shared host band factor
+    # factor is swapped in below, re-using the shared host band factor.
+    # parallel=False here: the auto gate would eagerly build CPU doubling
+    # tensors we immediately discard
     t0 = time.perf_counter()
     with jax.default_device(jax.devices("cpu")[0]):
-        sampler = BandCholeskySampler(op)
-    results["setup_sampler_total_s"] = round(time.perf_counter() - t0, 2)
+        sampler = BandCholeskySampler.__new__(BandCholeskySampler)
+        from multigridmc_tpu.samplers.base import Sampler
 
+        Sampler.__init__(sampler, op)
+        sampler.bandwidth = bw
+        sampler._dtype = jnp.float32
+        sampler.factor = BandFactor(cb, jnp.float32, parallel=False)
+        sampler._mu = None
+        if op.lowrank is not None:
+            from multigridmc_tpu.samplers.cholesky import _np_band_solve
+
+            Bt = np.asarray(op.lowrank.B, dtype=np.float64).reshape(
+                op.m_lowrank, -1)
+            Ainv_B = _np_band_solve(cb, bw, Bt.T)
+            Sig = np.asarray(op.lowrank.Sigma_diag, dtype=np.float64)
+            S = np.diag(Sig) + Bt @ Ainv_B
+            sampler.W = jnp.asarray(Ainv_B @ np.linalg.inv(S), jnp.float32)
+            sampler.B_flat = jnp.asarray(Bt.T, jnp.float32)
+            sampler.sqrt_Sigma = jnp.asarray(np.sqrt(Sig), jnp.float32)
+        else:
+            sampler.W = None
+    results["setup_sampler_total_s"] = round(time.perf_counter() - t0, 2)
+    print(f"sampler setup {results['setup_sampler_total_s']} s", file=sys.stderr,
+          flush=True)
+
+    which = sys.argv[1:] or ["sequential", "doubling"]
     for name, par in (("sequential", False), ("doubling", True)):
+        if name not in which:
+            continue
         t0 = time.perf_counter()
         sampler.factor = BandFactor(cb, jnp.float32, parallel=par)
         jax.block_until_ready(sampler.factor.Ld)
         if par:
             jax.block_until_ready(sampler.factor._lev_L[-1])
         t_setup = time.perf_counter() - t0
+        print(f"{name}: factor setup {t_setup:.2f} s", file=sys.stderr,
+              flush=True)
         sampler.fix_rhs(f)
+        jax.block_until_ready(sampler._mu)
+        print(f"{name}: fix_rhs done", file=sys.stderr, flush=True)
 
-        @jax.jit
+        @functools.partial(jax.jit, static_argnames=("nsteps",))
         def run(key, nsteps, sampler=sampler):
             def step(x, i):
                 return sampler.apply(jax.random.fold_in(key, i), f, x), 0.0
@@ -113,9 +145,10 @@ def main():
                          "samples_per_sec": round(NCHAINS / dt, 1),
                          "setup_s": round(t_setup, 2)}
 
-    seq, dbl = results["sequential"], results["doubling"]
-    results["doubling_speedup"] = round(
-        seq["ms_per_step"] / dbl["ms_per_step"], 2)
+    if "sequential" in results and "doubling" in results:
+        results["doubling_speedup"] = round(
+            results["sequential"]["ms_per_step"]
+            / results["doubling"]["ms_per_step"], 2)
     print(json.dumps(results))
 
 

@@ -394,3 +394,17 @@ def test_compression_validation_errors():
         )
     # sparse synthesis is 2d-only
     assert supports_visit((8, 8, 8), jnp.float32, 7, 2, 4, sparse_B=True) is None
+
+
+def test_supports_visit_1023_with_compression():
+    """VERDICT r4 #1 gate: the compressed 1023^2 m=8 SOR level must be
+    admitted by the production accounting (measured 12-plane per-chain
+    budget; hardware-verified by native/probe_visit_1024_tpu.py), while the
+    uncompressed plan must still be rejected."""
+    from multigridmc_tpu.ops.kernels.mgmc_visit_pallas import supports_visit
+
+    v = (1023, 1023)
+    assert supports_visit(v, jnp.float32, 5, 8, 16, n_dirs=1) is None
+    bc = supports_visit(v, jnp.float32, 5, 8, 16, n_dirs=1,
+                        n_var_coeffs=0, ns_const=True, sparse_B=True)
+    assert bc == 1
