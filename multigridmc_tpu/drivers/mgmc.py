@@ -61,6 +61,8 @@ def make_samplers(config, op):
             coarse_scaling=mg.coarse_scaling,
             cholesky_factorisation=config.cholesky.factorisation,
             verbose=mg.verbose,
+            sweep_schedule=mg.sweep_schedule,
+            distill_precision=mg.distill_precision,
         )
     return samplers
 
@@ -92,7 +94,7 @@ def measure_sampling_time(label, sampler, op, config, f, sample_vec, xbar, y, fi
     # dispatch, which would otherwise dominate every timing).
     def chain(x, k0, n):
         def step(x, k):
-            x = sampler.apply(jax.random.fold_in(key, k), fj, x)
+            x = sampler.apply_indexed(jax.random.fold_in(key, k), fj, x, k)
             return x, jnp.tensordot(x, svec, axes=op.lattice.dim)
 
         return jax.lax.scan(step, x, k0 + jnp.arange(n))
@@ -158,7 +160,7 @@ def measure_convergence(label, sampler, op, config, f, sample_vec, xbar, y, file
         x = jnp.zeros((nsamples,) + op.lattice.vshape)
 
         def step(x, k):
-            x = sampler.apply(jax.random.fold_in(key, k), fj, x)
+            x = sampler.apply_indexed(jax.random.fold_in(key, k), fj, x, k)
             z = jnp.tensordot(x, svec, axes=op.lattice.dim)
             return x, z
 
@@ -223,7 +225,7 @@ def posterior_statistics(sampler, op, config, f, mean_x_exact, mparams):
     @jax.jit
     def warm(x, key):
         def body(k, x):
-            return sampler.apply(jax.random.fold_in(key, k), fj, x)
+            return sampler.apply_indexed(jax.random.fold_in(key, k), fj, x, k)
 
         return jax.lax.fori_loop(0, sp.nwarmup, body, x)
 
@@ -231,7 +233,7 @@ def posterior_statistics(sampler, op, config, f, mean_x_exact, mparams):
     def collect(x, key):
         def step(carry, k):
             x, m, v = carry
-            x = sampler.apply(jax.random.fold_in(key, k), fj, x)
+            x = sampler.apply_indexed(jax.random.fold_in(key, k), fj, x, k)
             m = m + (x - m) / (k + 1.0)
             v = v + (x * x - v) / (k + 1.0)
             return (x, m, v), 0.0

@@ -36,7 +36,8 @@ Restriction/prolongation use the same banded tensor-product matrices as
 the fused path computes the identical linear algebra to the composed XLA path
 - verified elementwise by tests/test_mgmc_visit.py with noise disabled.
 
-2d only (the 3d bench path stays on XLA; see supports_visit).
+2d and 3d (3d keeps the tensor-product transfers outside the kernel - the
+middle-dim contractions would force in-kernel relayouts; see supports_visit).
 """
 
 from __future__ import annotations
@@ -200,17 +201,20 @@ def _noisy_rhs(f, x, ns, xi_lr_ref, b_field, m, dim):
     return c
 
 
-def _synth_B_field(rows_ref, cols_ref, vals_ref, k, nz, iotas):
+def _synth_B_field(idx_refs, vals_ref, k, nz, iotas):
     """Rebuild ONE sparse measurement field from SMEM scalars: B_k has ``nz``
-    (row, col, val) triplets (padded with row = -1, never matching the iota).
-    Radius-0 measurement columns are one-hot (``measured_operator.cc:74-91``),
-    so at large extents this replaces m resident VMEM planes with VPU masks.
-    Called lazily at each use site so the synthesized value dies immediately
+    (*index, val) tuples - one index array per lattice dim, padded with
+    index = -1, never matching the iota.  Radius-0 measurement columns are
+    one-hot (``measured_operator.cc:74-91``), so at large extents this
+    replaces m resident VMEM planes with VPU masks (2d and 3d).  Called
+    lazily at each use site so the synthesized value dies immediately
     instead of occupying a VMEM plane for the whole kernel."""
-    assert len(iotas) == 2, "sparse measurement synthesis is 2d-only"
     acc = None
     for j in range(nz):
-        mask = (iotas[0] == rows_ref[k, j]) & (iotas[1] == cols_ref[k, j])
+        mask = None
+        for d, iota in enumerate(iotas):
+            md = iota == idx_refs[d][k, j]
+            mask = md if mask is None else mask & md
         t = jnp.where(mask, vals_ref[k, j], jnp.float32(0.0))
         acc = t if acc is None else acc + t
     return acc
@@ -278,7 +282,8 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict,
         coeffs_ref = next(it) if nk_var else None
         ns_ref = next(it) if (noise and ns_const is None) else None
         if m and sparse_nz:
-            b_rows_ref, b_cols_ref, b_vals_ref = next(it), next(it), next(it)
+            b_idx_refs = tuple(next(it) for _ in range(dim))
+            b_vals_ref = next(it)
             B_ref = None
         else:
             B_ref = next(it) if m else None
@@ -305,7 +310,7 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict,
         if m:
             if sparse_nz:
                 def b_field(k):
-                    return _synth_B_field(b_rows_ref, b_cols_ref, b_vals_ref,
+                    return _synth_B_field(b_idx_refs, b_vals_ref,
                                           k, sparse_nz, iotas)
             else:
                 def b_field(k):
@@ -362,7 +367,8 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
         coeffs_ref = next(it) if nk_var else None
         ns_ref = next(it) if (noise and ns_const is None) else None
         if m and sparse_nz:
-            b_rows_ref, b_cols_ref, b_vals_ref = next(it), next(it), next(it)
+            b_idx_refs = tuple(next(it) for _ in range(dim))
+            b_vals_ref = next(it)
             B_ref = None
         else:
             B_ref = next(it) if m else None
@@ -389,7 +395,7 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
                          for d in range(dim)]
 
                 def b_field(k):
-                    return _synth_B_field(b_rows_ref, b_cols_ref, b_vals_ref,
+                    return _synth_B_field(b_idx_refs, b_vals_ref,
                                           k, sparse_nz, iotas)
             else:
                 def b_field(k):
@@ -455,11 +461,13 @@ def _check_compression(coeffs, const_coeffs, nk_var, offsets, B, m, sparse_nz,
     if len(const_coeffs) != len(offsets):
         raise ValueError("const_coeffs needs one entry per stencil offset")
     if sparse_nz:
-        if len(vshape) != 2:
-            raise ValueError("sparse_nz measurement synthesis is 2d-only")
-        rows, cols, vals = B
-        for a, dt, nm in ((rows, jnp.int32, "rows"), (cols, jnp.int32, "cols"),
-                          (vals, jnp.float32, "vals")):
+        dim = len(vshape)
+        if len(B) != dim + 1:
+            raise ValueError(
+                f"sparse B needs {dim} index arrays + values, got {len(B)}")
+        named = [(B[d], jnp.int32, f"idx{d}") for d in range(dim)]
+        named.append((B[-1], jnp.float32, "vals"))
+        for a, dt, nm in named:
             if a.shape != (m, sparse_nz) or a.dtype != dt:
                 raise ValueError(
                     f"sparse B {nm} must be {dt.__name__}[{m}, {sparse_nz}], "
@@ -511,9 +519,10 @@ def descend_visit(
       spatially-constant coefficient plane into the kernel; ``None`` entries
       are read from ``coeffs``, which then holds ONLY the varying planes.
     * ``ns_const`` - static float noise scale (``noise_scale`` ignored).
-    * ``sparse_nz > 0`` - ``B`` is an ``(rows, cols, vals)`` triplet of
-      ``(m, sparse_nz)`` arrays (SMEM); measurement fields are synthesized
-      in-kernel instead of held as m resident planes.
+    * ``sparse_nz > 0`` - ``B`` is a ``(*index_arrays, vals)`` tuple (one
+      int32 ``(m, sparse_nz)`` array per lattice dim + float32 values, SMEM);
+      measurement fields are synthesized in-kernel instead of held as m
+      resident planes.
     """
     dim = len(offsets[0])
     C, vshape = x.shape[0], x.shape[1:]
@@ -596,10 +605,8 @@ def descend_visit(
             return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
 
         if sparse_nz:
-            rows, cols, vals = B
-            args.extend([rows, cols, vals])
-            in_specs.extend([smem_spec(rows.shape), smem_spec(cols.shape),
-                             smem_spec(vals.shape)])
+            args.extend(list(B))
+            in_specs.extend([smem_spec(a.shape) for a in B])
         else:
             args.append(B)
             in_specs.append(resident_spec(m))
@@ -736,15 +743,11 @@ def ascend_visit(
         in_specs.append(resident_spec(1))
     if m:
         if sparse_nz:
-            rows, cols, vals = B
-            args.extend([rows, cols, vals])
+            args.extend(list(B))
             in_specs.extend([
-                pl.BlockSpec(rows.shape, lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(cols.shape, lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(vals.shape, lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(a.shape, lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+                for a in B
             ])
         else:
             args.append(B)
@@ -804,8 +807,6 @@ def supports_visit(vshape, dtype, n_offsets, m, nchains, n_dirs=1,
     23 to 9 planes (measured round 4; see BASELINE.md)."""
     if len(vshape) not in (2, 3) or jnp.dtype(dtype) != jnp.float32:
         return None
-    if sparse_B and len(vshape) != 2:
-        return None  # _synth_B_field masks are 2d-only
     plane = _padded_plane(vshape)
     nk = n_offsets if n_var_coeffs is None else n_var_coeffs
     # matches the wrappers' accounting (the banded R matrices are tiny)
@@ -827,10 +828,10 @@ def compress_plan(op, omega):
     * ``ns_const`` - static float Gibbs noise scale sqrt(D (2-omega)/omega)
       when the stencil diagonal is constant (computed in float32 to match
       the composed path's array arithmetic exactly).
-    * ``sparse_B`` - ``(rows, cols, vals)`` int32/int32/float32 ``(m, nz)``
-      triplets when every measurement column has at most
-      ``MGMC_VISIT_SPARSE_NZ_MAX`` (default 16) nonzeros (radius-0 columns
-      are one-hot, ``measured_operator.cc:74-91``), 2d only; else None.
+    * ``sparse_B`` - ``(*index_arrays, vals)`` (one int32 ``(m, nz)`` array
+      per lattice dim + float32 values) when every measurement column has at
+      most ``MGMC_VISIT_SPARSE_NZ_MAX`` (default 16) nonzeros (radius-0
+      columns are one-hot, ``measured_operator.cc:74-91``); else None.
 
     ``MGMC_VISIT_COMPRESS=0`` disables all three (diagnostic escape hatch).
     """
@@ -860,23 +861,24 @@ def compress_plan(op, omega):
         ns_const = float(np.sqrt(np.float32(dval)
                                  * np.float32((2.0 - omega) / omega)))
     sparse_B = None
-    if op.lowrank is not None and len(op.vshape) == 2:
+    if op.lowrank is not None and len(op.vshape) in (2, 3):
+        dim = len(op.vshape)
         Bnp = np.asarray(op.lowrank.B)
         m = Bnp.shape[0]
         nz_max = int(os.environ.get("MGMC_VISIT_SPARSE_NZ_MAX", "16"))
         counts = [int(np.count_nonzero(Bnp[k])) for k in range(m)]
         if max(counts) <= nz_max:
             nz = max(max(counts), 1)
-            rows = np.full((m, nz), -1, np.int32)
-            cols = np.full((m, nz), -1, np.int32)
+            idx = np.full((dim, m, nz), -1, np.int32)
             vals = np.zeros((m, nz), np.float32)
             for k in range(m):
-                r, c = np.nonzero(Bnp[k])
-                rows[k, : len(r)] = r
-                cols[k, : len(r)] = c
-                vals[k, : len(r)] = Bnp[k][r, c]
-            sparse_B = (jnp.asarray(rows), jnp.asarray(cols),
-                        jnp.asarray(vals))
+                nzk = np.nonzero(Bnp[k])
+                cnt = len(nzk[0])
+                for d in range(dim):
+                    idx[d, k, :cnt] = nzk[d]
+                vals[k, :cnt] = Bnp[k][nzk]
+            sparse_B = tuple(jnp.asarray(idx[d]) for d in range(dim)) + (
+                jnp.asarray(vals),)
     return const_coeffs, ns_const, sparse_B
 
 

@@ -329,6 +329,14 @@ class ShardedMGMCSampler:
             flags[-1] = False
         for i in range(1, len(flags)):
             flags[i] = flags[i] and flags[i - 1]
+        if not flags[0]:
+            raise ValueError(
+                f"finest level {hierarchy.operators[0].vshape} is not "
+                f"shardable over lattice mesh {S} with agglomerate_below="
+                f"{agglomerate_below} (padded extents must divide the mesh "
+                f"and leave local blocks >= the threshold); lower "
+                f"agglomerate_below, shrink the lattice mesh, or use the "
+                f"chains-data-parallel sampler")
         self.levels: List[_Level] = [
             _build_level(level_op, self.omega, flag)
             for level_op, flag in zip(hierarchy.operators, flags)

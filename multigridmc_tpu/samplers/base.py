@@ -29,6 +29,15 @@ class Sampler:
         """Draw the next chain state given rhs f and current state x."""
         raise NotImplementedError
 
+    def apply_indexed(self, key: jax.Array, f: jax.Array, x: jax.Array,
+                      k: jax.Array) -> jax.Array:
+        """One chain step that also sees the (possibly traced) step index
+        ``k``.  Default: ignore it.  Step-schedule-aware samplers (MGMC with
+        ``sweep_schedule="alternating"``) override this so driver scan loops
+        stay one-step-per-iteration."""
+        del k
+        return self.apply(key, f, x)
+
     def fix_rhs(self, f: jax.Array) -> None:
         """Cache f-dependent precomputations (no-op by default)."""
 
@@ -67,6 +76,13 @@ class MeanShiftedSampler(Sampler):
         del f  # target mean is carried exactly; see class docstring
         e = x - self.mean
         e = self.inner.apply(key, self._zero, e)
+        return self.mean + e
+
+    def apply_indexed(self, key: jax.Array, f: jax.Array, x: jax.Array,
+                      k: jax.Array) -> jax.Array:
+        del f
+        e = x - self.mean
+        e = self.inner.apply_indexed(key, self._zero, e, k)
         return self.mean + e
 
     def fix_rhs(self, f: jax.Array) -> None:

@@ -183,14 +183,25 @@ class BandFactor:
 
     @staticmethod
     def _doubling_levels(M: jax.Array, nb: int):
-        """Precompute ``M^{(l)}`` for l = 0..L-1 (data-independent)."""
+        """Precompute ``M^{(l)}`` for l = 0..L-1 (data-independent).
+
+        Every level tensor is kept FULL-SIZE (nb) with the first ``2^l``
+        blocks exactly zero (M_0 = 0 by construction and zeros propagate
+        through the products), so both the build and the apply can run
+        aligned batched matmuls over a rolled operand instead of slicing:
+        ``M[step:]`` at odd offsets measured 18 ms vs 0.15 ms for the
+        aligned roll form on v5e (round-5 probe) - the misaligned batch
+        slice forces a relayout of the whole level tensor."""
         hi = jax.lax.Precision.HIGHEST
         levels = []
         step = 1
         while step < nb:
             levels.append(M)
-            prod = jnp.einsum("nrk,nkc->nrc", M[step:], M[:-step], precision=hi)
-            M = jnp.concatenate([jnp.zeros_like(M[:step]), prod], axis=0)
+            # M^{(l+1)}_i = M^{(l)}_i M^{(l)}_{i-2^l}; the rolled operand's
+            # wrapped-in tail blocks meet the zero head blocks of M, so the
+            # first 2^{l+1} outputs are exactly zero as required
+            M = jnp.einsum("nrk,nkc->nrc", M, jnp.roll(M, step, axis=0),
+                           precision=hi)
             step *= 2
         return levels
 
@@ -225,12 +236,18 @@ class BandFactor:
 
     @staticmethod
     def _doubling_apply(levels, c: jax.Array) -> jax.Array:
-        """Run the precomputed affine prefix: c_i += M^{(l)}_i c_{i-2^l}."""
+        """Run the precomputed affine prefix: c_i += M^{(l)}_i c_{i-2^l}.
+
+        Aligned full-batch form (see ``_doubling_levels``): the level
+        tensors' zero head blocks annihilate the rolled operand's wrapped-in
+        tail, so this computes exactly the sliced recurrence without the
+        measured 100x misaligned-batch penalty."""
         hi = jax.lax.Precision.HIGHEST
         step = 1
         for M in levels:
-            add = jnp.einsum("nrc,nkc->nkr", M[step:], c[:-step], precision=hi)
-            c = jnp.concatenate([c[:step], c[step:] + add], axis=0)
+            add = jnp.einsum("nrc,nkc->nkr", M, jnp.roll(c, step, axis=0),
+                             precision=hi)
+            c = c + add
             step *= 2
         return c
 

@@ -90,12 +90,23 @@ class MultigridMCSampler(Sampler):
         fused: object = "auto",
         fused_min_vertices: Optional[int] = None,
         fused_interpret: bool = False,
+        sweep_schedule: str = "fixed",
+        distill_precision: Optional[str] = None,
     ):
         super().__init__(op)
         self.hierarchy = hierarchy or MultigridHierarchy(op, nlevel)
         self.nlevel = self.hierarchy.nlevel
         self.cycle = int(cycle)
         self.coarse_scaling = float(coarse_scaling)
+        sweep_schedule = sweep_schedule.lower()
+        if sweep_schedule not in ("fixed", "alternating"):
+            raise ValueError(f"invalid sweep_schedule '{sweep_schedule}'")
+        self.sweep_schedule = sweep_schedule
+        #: MXU precision tier of the distilled-subtree matmuls ("highest" /
+        #: "high" / "default"); None defers to MGMC_DISTILL_PRECISION (env,
+        #: default "high").  Bias trade-offs: utils/config.py
+        #: MultigridParameters docstring + BASELINE.md round-3 scan.
+        self.distill_precision = distill_precision
 
         smoother = smoother.upper()
         self.presamplers = []
@@ -135,6 +146,7 @@ class MultigridMCSampler(Sampler):
         )
         self._build_fused_levels(smoother, npresmooth, npostsmooth)
         self._build_distilled(distill)
+        self._build_alternate(distill)
 
     # ------------------------------------------------- fused level visits
     def _build_fused_levels(self, smoother: str, npresmooth: int, npostsmooth: int):
@@ -150,18 +162,23 @@ class MultigridMCSampler(Sampler):
         self.fused_levels = {}
         self.subtree = None
         self._smoother_name = smoother
+        self._visits_fusable = (smoother in ("SOR", "SSOR")
+                                and npresmooth == 1 and npostsmooth == 1)
         # one fused kernel call = one visit (SOR: 1 sweep, SSOR: fwd+bwd)
-        if smoother not in ("SOR", "SSOR") or npresmooth != 1 or npostsmooth != 1:
+        if not self._visits_fusable:
             return
+        self.fused_levels = self._make_fused(self.presamplers, self.postsamplers)
+        self._build_subtree()
+
+    def _make_fused(self, pre, post):
         from ..ops.kernels.mgmc_visit_pallas import fused_levels_for
 
-        self.fused_levels = fused_levels_for(
-            self.hierarchy.operators, self.presamplers, self.postsamplers,
+        return fused_levels_for(
+            self.hierarchy.operators, pre, post,
             self.coarse_scaling, self._fused_opts["min_vertices"],
             interpret=self._fused_opts["interpret"],
             force=self._fused_opts["force"],
         )
-        self._build_subtree()
 
     def _build_subtree(self):
         """One Pallas call for the whole coarse subtree (levels 1..coarsest).
@@ -215,11 +232,18 @@ class MultigridMCSampler(Sampler):
                     return
             except RuntimeError:
                 return
-        from .distill import distill_subtree, pick_distill_level
+        from .distill import pick_distill_level
 
         li = pick_distill_level(self.hierarchy.operators)
         if li is None:
             return
+        self.distilled = self._make_distilled(
+            li, self.presamplers, self.postsamplers)
+        self.distill_level = li
+
+    def _make_distilled(self, li, pre, post):
+        from .distill import distill_subtree
+
         # run the one-time basis propagation on the accelerator even when the
         # sampler is constructed under a CPU default-device context (the
         # propagation is one jitted program; setup-time eager work stays host)
@@ -231,22 +255,60 @@ class MultigridMCSampler(Sampler):
 
         ctx = jax.default_device(accel[0]) if accel else contextlib.nullcontext()
         with ctx:
-            self.distilled = distill_subtree(
-                self.hierarchy.operators[li:],
-                self.presamplers[li:], self.postsamplers[li:],
+            return distill_subtree(
+                self.hierarchy.operators[li:], pre[li:], post[li:],
                 self.coarse_sampler, self.cycle, self.coarse_scaling,
-                noise=True,
+                noise=True, precision=self.distill_precision,
             )
-        self.distill_level = li
 
-    def _sample(self, level: int, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
+    def _build_alternate(self, distill):
+        """Parity-1 engine for ``sweep_schedule="alternating"``: the same
+        hierarchy with the pre/post sampler roles swapped (odd steps presample
+        backward and postsample forward).  Measured on the reference's own
+        warmup diagnostic (docs/CONVERGENCE.md round-4 scan): the alternating
+        schedule contracts q_mean at 0.505/step at omega=1.4 vs 0.617 for the
+        fixed colored schedule and 0.685 for the reference's lexicographic
+        order (``sor_smoother.cc:56-78``) - at identical per-step cost.  The
+        stationary distribution is exact for either parity (step-dependent
+        composition of valid Gibbs kernels)."""
+        self._alt = None
+        if self.sweep_schedule != "alternating":
+            return
+        if self.subtree is not None:
+            raise ValueError(
+                "sweep_schedule='alternating' is unsupported with the opt-in "
+                "MGMC_SUBTREE kernel")
+        alt_fused = (self._make_fused(self.postsamplers, self.presamplers)
+                     if self._visits_fusable else {})
+        alt_distilled = None
+        if self.distilled is not None:
+            alt_distilled = self._make_distilled(
+                self.distill_level, self.postsamplers, self.presamplers)
+        self._alt = dict(
+            presamplers=self.postsamplers, postsamplers=self.presamplers,
+            fused_levels=alt_fused, distilled=alt_distilled,
+        )
+
+    def _engine(self, parity: int):
+        """(presamplers, postsamplers, fused_levels, distilled) for a step
+        parity; parity 1 exists only under ``sweep_schedule="alternating"``."""
+        if parity and self._alt is not None:
+            a = self._alt
+            return (a["presamplers"], a["postsamplers"], a["fused_levels"],
+                    a["distilled"])
+        return (self.presamplers, self.postsamplers, self.fused_levels,
+                self.distilled)
+
+    def _sample(self, level: int, key: jax.Array, f: jax.Array, x: jax.Array,
+                parity: int = 0) -> jax.Array:
         """Recursive stochastic cycle (``multigridmc_sampler.cc:103-130``),
         unrolled at trace time."""
         if level == self.nlevel - 1:
             return self.coarse_sampler.apply(key, f, x)
+        presamplers, postsamplers, fused_levels, distilled = self._engine(parity)
         op = self.hierarchy.operators[level]
         vdim = len(op.vshape)
-        fused = self.fused_levels.get(level) if x.ndim == vdim + 1 else None
+        fused = fused_levels.get(level) if x.ndim == vdim + 1 else None
         ncycle = self.cycle if level > 0 else 1
         for j in range(ncycle):
             kpre, kcoarse, kpost = jax.random.split(jax.random.fold_in(key, j), 3)
@@ -255,37 +317,67 @@ class MultigridMCSampler(Sampler):
                 f_coarse = out if fused.fuse_transfers else restrict(
                     out, dim=op.lattice.dim)
             else:
-                x = self.presamplers[level].apply(kpre, f, x)
+                x = presamplers[level].apply(kpre, f, x)
                 r = f - op.apply(x)
                 f_coarse = restrict(r, dim=op.lattice.dim)
             if level == 0 and self.subtree is not None and x.ndim == vdim + 1:
                 x_coarse = self.subtree.sample(kcoarse, f_coarse)
-            elif (self.distilled is not None
+            elif (distilled is not None
                   and level + 1 == self.distill_level and x.ndim > vdim):
-                x_coarse = self.distilled.apply(kcoarse, f_coarse)
+                x_coarse = distilled.apply(kcoarse, f_coarse)
             else:
                 x_coarse = jnp.zeros_like(f_coarse)
-                x_coarse = self._sample(level + 1, kcoarse, f_coarse, x_coarse)
+                x_coarse = self._sample(level + 1, kcoarse, f_coarse, x_coarse,
+                                        parity)
             if fused is not None:
                 xc = x_coarse if fused.fuse_transfers else prolongate(
                     x_coarse, op.vshape)
                 x = fused.ascend(kpost, f, x, xc)
             else:
                 x = prolongate_add(self.coarse_scaling, x_coarse, x, dim=op.lattice.dim)
-                x = self.postsamplers[level].apply(kpost, f, x)
+                x = postsamplers[level].apply(kpost, f, x)
         return x
 
-    def apply(self, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
+    def apply(self, key: jax.Array, f: jax.Array, x: jax.Array,
+              parity: int = 0) -> jax.Array:
         """One MGMC step: chain state x is carried, not zeroed
-        (``multigridmc_sampler.cc:133-139``)."""
+        (``multigridmc_sampler.cc:133-139``).
+
+        ``parity`` (static 0/1) selects the sweep-direction engine under
+        ``sweep_schedule="alternating"`` (odd steps swap the pre/post roles);
+        it is ignored under the default fixed schedule.  Step loops alternate
+        via a static 2-step unroll - see :meth:`apply_pair`."""
+        parity = int(parity) & 1
+        _, _, fused_levels, _ = self._engine(parity)
         vdim = len(self.op.vshape)
-        if self.fused_levels and x.ndim > vdim + 1:
+        if fused_levels and x.ndim > vdim + 1:
             # fused kernels take one flat chain axis; reshape around the cycle
             batch = x.shape[: x.ndim - vdim]
             xf = x.reshape((-1,) + self.op.vshape)
             ff = f
             if f.ndim > vdim:
                 ff = jnp.broadcast_to(f, x.shape).reshape(xf.shape)
-            out = self._sample(0, key, ff, xf)
+            out = self._sample(0, key, ff, xf, parity)
             return out.reshape(batch + self.op.vshape)
-        return self._sample(0, key, f, x)
+        return self._sample(0, key, f, x, parity)
+
+    def apply_pair(self, key: jax.Array, f: jax.Array, x: jax.Array) -> jax.Array:
+        """Two MGMC steps (parities 0 then 1): the scan body for the
+        alternating schedule (under the fixed schedule this is just two
+        ordinary steps).  Independent keys per sub-step."""
+        k0, k1 = jax.random.split(key)
+        return self.apply(k1, f, self.apply(k0, f, x), parity=1)
+
+    def apply_indexed(self, key: jax.Array, f: jax.Array, x: jax.Array,
+                      k: jax.Array) -> jax.Array:
+        """One step that derives the schedule parity from the (possibly
+        traced) step index ``k``: under the alternating schedule both parity
+        engines are traced into a ``lax.cond`` and the branch is picked at
+        run time, so driver scan loops stay one-step-per-iteration."""
+        if self._alt is None:
+            return self.apply(key, f, x)
+        return jax.lax.cond(
+            (jnp.asarray(k) % 2) == 0,
+            lambda: self.apply(key, f, x, parity=0),
+            lambda: self.apply(key, f, x, parity=1),
+        )

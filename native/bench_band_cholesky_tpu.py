@@ -16,6 +16,7 @@ cf. the supernodal-solve role of
 """
 
 import functools
+import os
 import json
 import sys
 import time
@@ -24,7 +25,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-NCHAINS = 64
+NCHAINS = int(os.environ.get("MGMC_BENCH_NCHAINS", "64"))
 NSTEPS = (10, 40)
 
 
@@ -129,15 +130,35 @@ def main():
         jax.block_until_ready(sampler._mu)
         print(f"{name}: fix_rhs done", file=sys.stderr, flush=True)
 
+        # The doubling level tensors are ~2 GB at this band width; closed
+        # over inside jit they'd be embedded as HLO constants and blow the
+        # remote-compile tunnel's request limit (round-4 HTTP 413).  Pass
+        # them as arguments and rebind during trace instead.
+        fac = sampler.factor
+        tensors = ((fac.Linv, tuple(fac._lev_L), tuple(fac._lev_LT))
+                   if par else (fac.Ld, fac.Ls))
+
         @functools.partial(jax.jit, static_argnames=("nsteps",))
-        def run(key, nsteps, sampler=sampler):
+        def run(key, nsteps, tensors=tensors, sampler=sampler, par=par):
+            fac = sampler.factor
+            if par:
+                fac.Linv, fac._lev_L, fac._lev_LT = tensors
+            else:
+                fac.Ld, fac.Ls = tensors
+
             def step(x, i):
                 return sampler.apply(jax.random.fold_in(key, i), f, x), 0.0
 
             x, _ = jax.lax.scan(step, x0, jnp.arange(nsteps))
             return x
 
-        dt = slope(lambda k, n: run(k, n), sampling_key, *NSTEPS)
+        try:
+            dt = slope(lambda k, n: run(k, n, tensors), sampling_key, *NSTEPS)
+        finally:
+            if par:
+                fac.Linv, fac._lev_L, fac._lev_LT = tensors
+            else:
+                fac.Ld, fac.Ls = tensors
         print(f"{name}: {1e3 * dt:.3f} ms/step, "
               f"{NCHAINS / dt:,.0f} samples/s (setup {t_setup:.2f} s)",
               file=sys.stderr)

@@ -348,6 +348,102 @@ def test_sparse_B_visits_match_dense(monkeypatch):
     np.testing.assert_allclose(np.asarray(sfc), np.asarray(exp_fc), rtol=2e-5, atol=2e-5)
 
 
+def test_biharmonic_visits_match_composed():
+    """13-point biharmonic stencil (width-2 offsets,
+    ``squared_shiftedlaplace_fd_operator.cc:58-93``): the fused visit kernels
+    handle it unchanged - ``_shifted`` rolls by any offset and the 5-colour
+    ordering is valid for the diamond stencil (VERDICT r4 #8: there is no
+    width-1 assumption).  Errors are gated RELATIVE to the O(h^-4) stencil
+    scale."""
+    from multigridmc_tpu.models.prior import squared_shiftedlaplace_fd
+    from multigridmc_tpu.ops.kernels.mgmc_visit_pallas import visit_plan
+
+    lattice = Lattice((24, 24))
+    op = squared_shiftedlaplace_fd(
+        lattice, ConstantCorrelationLengthModel(0.3), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    params = MeasurementParameters(
+        measurement_locations=rng.uniform(0.1, 0.9, size=(4, 2)),
+        mean=rng.normal(size=4),
+        variance=0.5 + rng.uniform(size=4),
+    )
+    op = measured_operator(op, params)
+    coloring = coloring_for(op.offsets, op.vshape)
+    assert coloring.n_colors == 5  # diamond-stencil colouring
+    assert visit_plan(op, 1.0, n_dirs=1) is not None
+    pre = SORSmoother(op, 1.0, 1, FORWARD, coloring)
+    post = SORSmoother(op, 1.0, 1, BACKWARD, coloring)
+    fused = FusedVisitLevel(op, coloring, 1.0, pre.order, post.order,
+                            pre.B_bar, post.B_bar, coarse_scaling=0.75,
+                            interpret=True)
+    C = 4
+    f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + op.vshape), jnp.float32)
+    out_x, out_fc = fused.descend(jax.random.key(0), f, x, noise=False)
+    exp_x = pre.apply(f, x)
+    exp_fc = restrict(f - op.apply(exp_x), dim=2)
+    scale = float(jnp.max(jnp.abs(exp_fc)))
+    assert float(jnp.max(jnp.abs(out_x - exp_x))) < 2e-5
+    assert float(jnp.max(jnp.abs(out_fc - exp_fc))) < 2e-5 * max(scale, 1.0)
+
+    vc = tuple(m // 2 for m in op.vshape)
+    xc = jnp.asarray(rng.normal(size=(C,) + vc), jnp.float32)
+    out_a = fused.ascend(jax.random.key(0), f, x, xc, noise=False)
+    exp_a = post.apply(f, prolongate_add(0.75, xc, x, dim=2))
+    assert float(jnp.max(jnp.abs(out_a - exp_a))) < 2e-5
+
+
+def test_sparse_B_visits_match_dense_3d():
+    """3d SMEM synthesis (round 5, lifting the 2d-only gate): the sparse-B
+    fused visit equals the resident-plane visit and the composed path on a
+    3d posterior (transfers outside, as in the production 3d cycle)."""
+    lattice = Lattice((10, 12, 14))
+    op = shiftedlaplace_fd(lattice, ConstantCorrelationLengthModel(0.3),
+                           dtype=jnp.float32)
+    rng = np.random.default_rng(21)
+    params = MeasurementParameters(
+        measurement_locations=rng.uniform(0.1, 0.9, size=(4, 3)),
+        mean=rng.normal(size=4),
+        variance=0.5 + rng.uniform(size=4),
+    )
+    op = measured_operator(op, params)
+    coloring = coloring_for(op.offsets, op.vshape)
+    pre = SORSmoother(op, 1.0, 1, FORWARD, coloring)
+    post = SORSmoother(op, 1.0, 1, BACKWARD, coloring)
+    fused_dense = FusedVisitLevel(op, coloring, 1.0, pre.order, post.order,
+                                  pre.B_bar, post.B_bar, coarse_scaling=0.5,
+                                  interpret=True)
+    plan = _forced_sparse_plan(op, 1.0)
+    assert len(plan["sparse_B"]) == 4  # 3 index arrays + values
+    fused_sp = FusedVisitLevel(op, coloring, 1.0, pre.order, post.order,
+                               pre.B_bar, post.B_bar, coarse_scaling=0.5,
+                               interpret=True, plan=plan)
+    assert fused_sp._sparse_nz == 1
+    C = 4
+    f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + op.vshape), jnp.float32)
+
+    dx, dr = fused_dense.descend(jax.random.key(0), f, x, noise=False)
+    sx, sr = fused_sp.descend(jax.random.key(0), f, x, noise=False)
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(dx), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(dr), rtol=1e-6, atol=1e-6)
+    exp_x = pre.apply(f, x)
+    exp_r = f - op.apply(exp_x)
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(exp_x), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(exp_r), rtol=2e-5, atol=2e-5)
+
+    from multigridmc_tpu.ops.intergrid import prolongate
+
+    vc = tuple(m // 2 for m in op.vshape)
+    xc = jnp.asarray(rng.normal(size=(C,) + vc), jnp.float32)
+    px = prolongate(xc, op.vshape)
+    da = fused_dense.ascend(jax.random.key(0), f, x, px, noise=False)
+    sa = fused_sp.ascend(jax.random.key(0), f, x, px, noise=False)
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(da), rtol=1e-6, atol=1e-6)
+    exp_a = post.apply(f, prolongate_add(0.5, xc, x, dim=3))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(exp_a), rtol=2e-5, atol=2e-5)
+
+
 def test_compression_disabled_matches(monkeypatch):
     """MGMC_VISIT_COMPRESS=0 (resident planes for everything) is elementwise
     identical to the compressed default."""
@@ -392,8 +488,18 @@ def test_compression_validation_errors():
             fused.Rh, fused.RwT, f, x,
             orders=fused.pre_orders, noise=False, **fused._statics,
         )
-    # sparse synthesis is 2d-only
-    assert supports_visit((8, 8, 8), jnp.float32, 7, 2, 4, sparse_B=True) is None
+    # sparse synthesis covers 3d too (round 5); malformed tuples still raise
+    assert supports_visit((8, 8, 8), jnp.float32, 7, 2, 4, sparse_B=True)
+    sp2 = _forced_sparse_plan(_setup(lowrank=True)[0], 1.0)["sparse_B"]
+    op2, pre2, _, fused2 = _setup(lowrank=True)
+    with pytest.raises(ValueError, match="index arrays"):
+        descend_visit(
+            jax.random.key(0), fused2._coeffs_k, None, sp2[:2], fused2.Bbar_pre,
+            (fused2.lr_scale, fused2.sigma_inv, fused2.G_pre),
+            fused2.Rh, fused2.RwT, f, x,
+            orders=fused2.pre_orders, noise=False,
+            **{**fused2._statics, "sparse_nz": 1},
+        )
 
 
 def test_supports_visit_1023_with_compression():
