@@ -36,8 +36,12 @@ Restriction/prolongation use the same banded tensor-product matrices as
 the fused path computes the identical linear algebra to the composed XLA path
 - verified elementwise by tests/test_mgmc_visit.py with noise disabled.
 
-2d and 3d (3d keeps the tensor-product transfers outside the kernel - the
-middle-dim contractions would force in-kernel relayouts; see supports_visit).
+2d and 3d.  3d runs in FLAT storage by default (round 5): fields live as
+(Z, Y*X) inside the kernel - the 63-extent lane dim would pad 2x, the packed
+3969-wide lane dim pads 3% - and the tensor-product transfers become the
+same two MXU matmuls as 2d (f_c = R_z r kron(R_y,R_x)^T), fusing in-kernel.
+``MGMC_VISIT_FLAT3D=0`` restores the legacy dense-3d blocks with transfers
+outside.
 """
 
 from __future__ import annotations
@@ -53,7 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .sor_pallas import seed_words
-from .sor_pallas_v2 import _shifted, _sweep_body
+from .sor_pallas_v2 import _shifted, _sweep_body, layout_iotas
 
 _TWO_PI = 6.283185307179586
 _HI = jax.lax.Precision.HIGHEST
@@ -128,6 +132,13 @@ def _vmem_budget() -> int:
 #: MGMC_VISIT_PLANES=16 restores the conservative gate.
 _PLANES_PER_CHAIN = int(os.environ.get("MGMC_VISIT_PLANES", "12"))
 
+#: flat-3d kernels keep more live whole-field temporaries per chain (three
+#: int32 iota fields, the 7 shifted stencil reads against a packed axis, and
+#: MXU staging for the kron transfer matmuls): the 12-plane 2d estimate
+#: under-budgets by ~2x (round-5: planner bc=4 at 63^3 -> Mosaic scoped
+#: stack 116 MB vs the 112 MB limit).  24 planes/chain measured safe.
+_PLANES_PER_CHAIN_FLAT = int(os.environ.get("MGMC_VISIT_PLANES_FLAT", "24"))
+
 
 def _padded_plane(vshape):
     """f32 bytes of one (1, *vshape) field in VMEM: the last two dims tile to
@@ -178,10 +189,10 @@ def _mm(a, b):
     )
 
 
-def _apply_stencil(coeffs, x, offsets, iotas, vshape):
+def _apply_stencil(coeffs, x, offsets, iotas, vshape, layout=None):
     ax = None
     for k, off in enumerate(offsets):
-        t = coeffs[k] * _shifted(x, off, iotas, vshape)
+        t = coeffs[k] * _shifted(x, off, iotas, vshape, layout)
         ax = t if ax is None else ax + t
     return ax
 
@@ -238,6 +249,7 @@ def _sweeps(coeffs, x, f, params, orders, m, noise, ns, xi_lr_ref, b_field,
     holds ``n_dirs * m`` stacked fields).  One sweep = SOR visits; two
     (forward, backward) = SSOR visits.  Returns (x, btx of the last sweep)."""
     btx = None
+    adim = x.ndim - 1  # array spatial rank (< dim under a flattened layout)
     for d, order in enumerate(orders):
         if noise:
             xi_lr_d = xi_lr_ref[..., d * m:(d + 1) * m] if m else None
@@ -246,7 +258,7 @@ def _sweeps(coeffs, x, f, params, orders, m, noise, ns, xi_lr_ref, b_field,
             c = f
         x = _sweep_body(coeffs, c, x, order=order, **params)
         if m:
-            btx = [_reduce_spatial(x * b_field(k)[None], dim)
+            btx = [_reduce_spatial(x * b_field(k)[None], adim)
                    for k in range(m)]
             for l in range(m):
                 x = x - btx[l] * Bbar_ref[d * m + l][None]
@@ -271,6 +283,7 @@ def _unpack_coeffs(coeffs_ref, const_coeffs):
 def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict,
                          const_coeffs, ns_const, sparse_nz):
     dim = len(params["offsets"][0])
+    layout = params.get("layout")
     orders = params["orders"]
     base_params = {k: v for k, v in params.items() if k != "orders"}
     nk_var = sum(1 for c in const_coeffs if c is None)
@@ -305,8 +318,13 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict,
         coeffs = _unpack_coeffs(coeffs_ref, const_coeffs)
         f = f_ref[:]  # (bc, *v) or (1, *v): broadcasts against (bc, *v)
         x = x_ref[:]
-        vshape = x.shape[-dim:]
-        iotas = [jax.lax.broadcasted_iota(jnp.int32, vshape, d) for d in range(dim)]
+        if layout is None:
+            vshape = x.shape[-dim:]
+            iotas = [jax.lax.broadcasted_iota(jnp.int32, vshape, d)
+                     for d in range(dim)]
+        else:
+            vshape = base_params["vshape"]  # logical extents
+            iotas = layout_iotas(vshape, layout, x.shape[1:])
         if m:
             if sparse_nz:
                 def b_field(k):
@@ -325,7 +343,8 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict,
         xout_ref[:] = x
 
         # residual r = f - A x  (full operator incl. low-rank term)
-        r = f - _apply_stencil(coeffs, x, base_params["offsets"], iotas, vshape)
+        r = f - _apply_stencil(coeffs, x, base_params["offsets"], iotas,
+                               vshape, layout)
         if m:
             # B^T x' after the LAST Woodbury correction without re-reducing
             # the full fields: B^T(x - Bbar btx) = (I - G) btx with the
@@ -356,6 +375,7 @@ def _make_descend_kernel(*, params, n_seed_words, noise, m, bc, fuse_restrict,
 def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
                         fuse_prolongate, const_coeffs, ns_const, sparse_nz):
     dim = len(params["offsets"][0])
+    layout = params.get("layout")
     orders = params["orders"]
     base_params = {k: v for k, v in params.items() if k != "orders"}
     nk_var = sum(1 for c in const_coeffs if c is None)
@@ -388,11 +408,17 @@ def _make_ascend_kernel(*, params, n_seed_words, noise, m, bc, coarse_scaling,
         coeffs = _unpack_coeffs(coeffs_ref, const_coeffs)
         f = f_ref[:]
         x = x_ref[:]
-        vshape = x.shape[-dim:]
+        if layout is None:
+            vshape = x.shape[-dim:]
+        else:
+            vshape = base_params["vshape"]
         if m:
             if sparse_nz:
-                iotas = [jax.lax.broadcasted_iota(jnp.int32, vshape, d)
-                         for d in range(dim)]
+                if layout is None:
+                    iotas = [jax.lax.broadcasted_iota(jnp.int32, vshape, d)
+                             for d in range(dim)]
+                else:
+                    iotas = layout_iotas(vshape, layout, x.shape[1:])
 
                 def b_field(k):
                     return _synth_B_field(b_idx_refs, b_vals_ref,
@@ -446,10 +472,12 @@ def _block_seeds(key, nblocks):
 
 
 def _check_compression(coeffs, const_coeffs, nk_var, offsets, B, m, sparse_nz,
-                       vshape):
+                       vshape, lvshape=None):
     """Shape/dtype validation of the resident-set compression arguments
     (advisor r3: a caller passing the full unfiltered coeffs array with
-    const_coeffs set would silently misassign planes to offsets)."""
+    const_coeffs set would silently misassign planes to offsets).  ``vshape``
+    is the ARRAY spatial shape (a flattened layout differs from the logical
+    ``lvshape``)."""
     if nk_var == 0:
         if coeffs is not None:
             raise ValueError(
@@ -461,7 +489,7 @@ def _check_compression(coeffs, const_coeffs, nk_var, offsets, B, m, sparse_nz,
     if len(const_coeffs) != len(offsets):
         raise ValueError("const_coeffs needs one entry per stencil offset")
     if sparse_nz:
-        dim = len(vshape)
+        dim = len(lvshape if lvshape is not None else vshape)
         if len(B) != dim + 1:
             raise ValueError(
                 f"sparse B needs {dim} index arrays + values, got {len(B)}")
@@ -475,15 +503,17 @@ def _check_compression(coeffs, const_coeffs, nk_var, offsets, B, m, sparse_nz,
 
 
 def _visit_vmem_plan(vshape, nk_var, noise, ns_const, m, n_dirs, sparse_nz,
-                     f_batched, C, r_bytes, fc_plane, bc_max=None):
+                     f_batched, C, r_bytes, fc_plane, bc_max=None,
+                     flat=False):
     """Shared VMEM accounting for the visit kernels: resident planes are the
     varying coefficient planes, the noise-scale plane (unless constant), the
     Woodbury fields, and the measurement fields (unless SMEM-synthesized)."""
     plane = _padded_plane(vshape)
+    planes_pc = _PLANES_PER_CHAIN_FLAT if flat else _PLANES_PER_CHAIN
     resident = (nk_var + (1 if noise and ns_const is None else 0)
                 + n_dirs * m + (0 if sparse_nz else m)
                 + (0 if f_batched else 1)) * plane + r_bytes
-    per_chain = (_PLANES_PER_CHAIN + (1 if f_batched else 0)) * plane + fc_plane
+    per_chain = (planes_pc + (1 if f_batched else 0)) * plane + fc_plane
     return _pick_bc(C, resident, per_chain, bc_max=bc_max)
 
 
@@ -491,13 +521,15 @@ def _visit_vmem_plan(vshape, nk_var, noise, ns_const, m, n_dirs, sparse_nz,
     jax.jit,
     static_argnames=("offsets", "diag_index", "omega", "orders", "color_weights",
                      "n_colors", "noise", "fuse_restrict", "interpret",
-                     "const_coeffs", "ns_const", "sparse_nz", "bc_max"),
+                     "const_coeffs", "ns_const", "sparse_nz", "bc_max",
+                     "layout", "lvshape"),
 )
 def descend_visit(
     key, coeffs, noise_scale, B, Bbar, sinv, Rh, RwT, f, x, *,
     offsets, diag_index, omega, orders, color_weights, n_colors,
     noise=True, fuse_restrict=True, interpret=False,
     const_coeffs=None, ns_const=None, sparse_nz=0, bc_max=None,
+    layout=None, lvshape=None,
 ):
     """One fused descend visit.  Returns ``(x_new, f_coarse)`` - or
     ``(x_new, r)`` with ``fuse_restrict=False`` (3d: the tensor-product
@@ -526,6 +558,9 @@ def descend_visit(
     """
     dim = len(offsets[0])
     C, vshape = x.shape[0], x.shape[1:]
+    adim = x.ndim - 1  # array spatial rank; < dim under a flattened layout
+    if layout is not None and lvshape is None:
+        raise ValueError("layout requires lvshape (logical extents)")
     if sparse_nz:
         m = B[0].shape[0]
     else:
@@ -535,7 +570,7 @@ def descend_visit(
         const_coeffs = (None,) * len(offsets)
     nk_var = sum(1 for c in const_coeffs if c is None)
     _check_compression(coeffs, const_coeffs, nk_var, offsets, B, m, sparse_nz,
-                       vshape)
+                       vshape, lvshape)
     plane = _padded_plane(vshape)
     if fuse_restrict:
         vc = (Rh.shape[0], RwT.shape[1])
@@ -547,14 +582,16 @@ def descend_visit(
     f_batched = f.ndim == x.ndim
     bc = _visit_vmem_plan(vshape, nk_var, noise, ns_const, m, n_dirs,
                           sparse_nz, f_batched, C, r_bytes, fc_plane,
-                          bc_max=bc_max)
+                          bc_max=bc_max, flat=layout is not None)
     if bc is None:
         raise ValueError(f"visit kernel does not fit VMEM for C={C}, v={vshape}")
     nblocks = C // bc
-    zeros = (0,) * dim
+    zeros = (0,) * adim
 
     params = dict(offsets=offsets, diag_index=diag_index, omega=omega,
                   orders=orders, color_weights=color_weights, n_colors=n_colors)
+    if layout is not None:
+        params.update(layout=layout, vshape=lvshape)
 
     args = []
     in_specs = []
@@ -573,11 +610,11 @@ def descend_visit(
             # (Mosaic tiling rule); sliced (bc, 1, .., 1) in-kernel
             xi_lr = (jax.random.normal(klr, (C, n_dirs * m), x.dtype)
                      * jnp.tile(lr_scale, n_dirs)
-                     ).reshape((C,) + (1,) * (dim - 1) + (n_dirs * m,))
+                     ).reshape((C,) + (1,) * (adim - 1) + (n_dirs * m,))
             args.append(xi_lr)
             in_specs.append(
-                pl.BlockSpec((bc,) + (1,) * (dim - 1) + (n_dirs * m,),
-                             lambda i: (i,) + (0,) * dim,
+                pl.BlockSpec((bc,) + (1,) * (adim - 1) + (n_dirs * m,),
+                             lambda i: (i,) + (0,) * adim,
                              memory_space=pltpu.VMEM)
             )
         else:
@@ -664,13 +701,14 @@ def descend_visit(
     static_argnames=("offsets", "diag_index", "omega", "orders", "color_weights",
                      "n_colors", "coarse_scaling", "noise", "fuse_prolongate",
                      "interpret", "const_coeffs", "ns_const", "sparse_nz",
-                     "bc_max"),
+                     "bc_max", "layout", "lvshape"),
 )
 def ascend_visit(
     key, coeffs, noise_scale, B, Bbar, lr_scale, RhT, Rw, f, x, x_coarse, *,
     offsets, diag_index, omega, orders, color_weights, n_colors,
     coarse_scaling=1.0, noise=True, fuse_prolongate=True, interpret=False,
     const_coeffs=None, ns_const=None, sparse_nz=0, bc_max=None,
+    layout=None, lvshape=None,
 ):
     """One fused ascend visit: ``x += gamma P x_c`` then the post Gibbs
     sweep(s) (+ Woodbury per sweep; ``orders``/stacked ``Bbar`` as in
@@ -680,6 +718,9 @@ def ascend_visit(
     resident set exactly as in :func:`descend_visit`."""
     dim = len(offsets[0])
     C, vshape = x.shape[0], x.shape[1:]
+    adim = x.ndim - 1  # array spatial rank; < dim under a flattened layout
+    if layout is not None and lvshape is None:
+        raise ValueError("layout requires lvshape (logical extents)")
     if sparse_nz:
         m = B[0].shape[0]
     else:
@@ -689,21 +730,23 @@ def ascend_visit(
         const_coeffs = (None,) * len(offsets)
     nk_var = sum(1 for c in const_coeffs if c is None)
     _check_compression(coeffs, const_coeffs, nk_var, offsets, B, m, sparse_nz,
-                       vshape)
+                       vshape, lvshape)
     vc = x_coarse.shape[1:]
     fc_plane = _padded_plane(vc)
     f_batched = f.ndim == x.ndim
     r_bytes = 4 * (RhT.size + Rw.size) if fuse_prolongate else 0
     bc = _visit_vmem_plan(vshape, nk_var, noise, ns_const, m, n_dirs,
                           sparse_nz, f_batched, C, r_bytes, fc_plane,
-                          bc_max=bc_max)
+                          bc_max=bc_max, flat=layout is not None)
     if bc is None:
         raise ValueError(f"visit kernel does not fit VMEM for C={C}, v={vshape}")
     nblocks = C // bc
-    zeros = (0,) * dim
+    zeros = (0,) * adim
 
     params = dict(offsets=offsets, diag_index=diag_index, omega=omega,
                   orders=orders, color_weights=color_weights, n_colors=n_colors)
+    if layout is not None:
+        params.update(layout=layout, vshape=lvshape)
 
     args = []
     in_specs = []
@@ -718,11 +761,11 @@ def ascend_visit(
         if m:
             xi_lr = (jax.random.normal(klr, (C, n_dirs * m), x.dtype)
                      * jnp.tile(lr_scale, n_dirs)
-                     ).reshape((C,) + (1,) * (dim - 1) + (n_dirs * m,))
+                     ).reshape((C,) + (1,) * (adim - 1) + (n_dirs * m,))
             args.append(xi_lr)
             in_specs.append(
-                pl.BlockSpec((bc,) + (1,) * (dim - 1) + (n_dirs * m,),
-                             lambda i: (i,) + (0,) * dim,
+                pl.BlockSpec((bc,) + (1,) * (adim - 1) + (n_dirs * m,),
+                             lambda i: (i,) + (0,) * adim,
                              memory_space=pltpu.VMEM)
             )
     kern = _make_ascend_kernel(
@@ -795,7 +838,7 @@ def ascend_visit(
 
 def supports_visit(vshape, dtype, n_offsets, m, nchains, n_dirs=1,
                    n_var_coeffs=None, ns_const=False,
-                   sparse_B=False) -> Optional[int]:
+                   sparse_B=False, flat=False, r_bytes=0) -> Optional[int]:
     """Whether the fused visit kernels handle this level; returns the chain
     block size bc, or None.  2d and 3d float32 (3d without in-kernel
     transfers); the level's resident fields and one chain block of kernel
@@ -809,10 +852,12 @@ def supports_visit(vshape, dtype, n_offsets, m, nchains, n_dirs=1,
         return None
     plane = _padded_plane(vshape)
     nk = n_offsets if n_var_coeffs is None else n_var_coeffs
-    # matches the wrappers' accounting (the banded R matrices are tiny)
+    planes_pc = _PLANES_PER_CHAIN_FLAT if flat else _PLANES_PER_CHAIN
+    # matches the wrappers' accounting; r_bytes carries the resident transfer
+    # matrices (the 2d banded R are tiny; the flat-3d kron is ~15 MB at 63^3)
     resident = (nk + (1 if not ns_const else 0) + 1
-                + n_dirs * m + (0 if sparse_B else m)) * plane + plane
-    per_chain = _PLANES_PER_CHAIN * plane + plane
+                + n_dirs * m + (0 if sparse_B else m)) * plane + plane + r_bytes
+    per_chain = planes_pc * plane + plane
     return _pick_bc(nchains, resident, per_chain)
 
 
@@ -894,14 +939,26 @@ def visit_plan(op, omega, n_dirs, nchains=16):
     n_var = (len(op.offsets) if const_coeffs is None
              else sum(1 for c in const_coeffs if c is None))
     m = op.m_lowrank
+    # flat-3d storage (FusedVisitLevel.flat): budget with the (Z, Y*X) padded
+    # plane (~2x smaller than the (Z, Y, X) one at odd extents), the flat
+    # per-chain temporary count, and the resident kron transfer matrix
+    ashape = op.vshape
+    flat3d = (len(op.vshape) == 3
+              and os.environ.get("MGMC_VISIT_FLAT3D", "1") == "1")
+    r_bytes = 0
+    if flat3d:
+        Z, Y, X = op.vshape
+        ashape = (Z, Y * X)
+        # each kernel holds one 1d Z-restrict matrix + one (Y*X, Yc*Xc) kron
+        r_bytes = 4 * ((Z // 2) * Z + (Y // 2) * (X // 2) * Y * X)
     common = dict(n_dirs=n_dirs, n_var_coeffs=n_var,
-                  ns_const=ns_const is not None)
-    bc_dense = supports_visit(op.vshape, op.coeffs.dtype, len(op.offsets),
+                  ns_const=ns_const is not None, flat=flat3d, r_bytes=r_bytes)
+    bc_dense = supports_visit(ashape, op.coeffs.dtype, len(op.offsets),
                               m, nchains, sparse_B=False, **common)
     bc = bc_dense
     use_sparse = False
     if sparse_B is not None and m:
-        bc_sparse = supports_visit(op.vshape, op.coeffs.dtype,
+        bc_sparse = supports_visit(ashape, op.coeffs.dtype,
                                    len(op.offsets), m, nchains,
                                    sparse_B=True, **common)
         if bc_sparse is not None and (bc_dense is None or bc_sparse > bc_dense):
@@ -937,7 +994,8 @@ def _sweep_spec(obj):
 
 
 def fused_levels_for(operators, presmoothers, postsmoothers, coarse_scaling,
-                     min_vertices, interpret=False, force=None):
+                     min_vertices, interpret=False, force=None,
+                     min_vertices_3d=None):
     """Shared gating + construction of per-level fused visit kernels.
 
     ``presmoothers``/``postsmoothers`` are SOR/SSOR smoother (or sampler)
@@ -964,7 +1022,20 @@ def fused_levels_for(operators, presmoothers, postsmoothers, coarse_scaling,
         post = _sweep_spec(postsmoothers[level])
         if pre is None or post is None:
             continue
-        if op.lattice.nvertex < min_vertices:
+        # the 2d crossover (min_vertices, autotuned ~40k on v5e) does not
+        # transfer to 3d: the composed 31^3 visit pays 4x lane padding and
+        # relayout-prone tensor-product transfers, so flat-3d fused visits
+        # pay at far smaller levels (round-5 breakdown: composed L1 gibbs
+        # 1.2 ms vs the whole fused flat L0 pair ~2 ms at 8x the data).
+        # An explicit min_vertices_3d (the samplers forward their explicit
+        # fused_min_vertices argument) overrides the env/default.
+        if len(op.vshape) == 2:
+            mv = min_vertices
+        elif min_vertices_3d is not None:
+            mv = min_vertices_3d
+        else:
+            mv = int(os.environ.get("MGMC_FUSED_MIN_VERTICES_3D", "20000"))
+        if op.lattice.nvertex < mv:
             continue
         plan = visit_plan(op, pre[3], n_dirs=len(pre[0]))
         if plan is None:
@@ -1007,11 +1078,20 @@ class FusedVisitLevel:
         self.omega = float(omega)
         self.interpret = bool(interpret)
         self.coarse_scaling = float(coarse_scaling)
-        #: 3d keeps the tensor-product transfers outside the kernel (the
-        #: middle-dim contractions would force in-kernel relayouts)
-        self.fuse_transfers = len(op.vshape) == 2
+        #: flat-3d mode (round 5): store 3d fields as (Z, Y*X) inside the
+        #: kernel.  This (a) cuts the VMEM/HBM footprint ~2x (a 63-extent
+        #: lane dim pads to 128; the 3969-wide flattened lane dim pads 3%),
+        #: and (b) makes the tensor-product transfers the same two MXU
+        #: matmuls as 2d - f_c = R_z r kron(R_y, R_x)^T - so they fuse into
+        #: the kernel instead of running as relayout-prone XLA contractions.
+        #: Stencil reads stay exact: y/z shifts become strided rolls of the
+        #: packed axis whose cross-boundary wraps are zero-masked by the
+        #: per-logical-dim iotas (see sor_pallas_v2._shifted).
+        self.flat = (len(op.vshape) == 3
+                     and os.environ.get("MGMC_VISIT_FLAT3D", "1") == "1")
+        self.fuse_transfers = len(op.vshape) == 2 or self.flat
         name = jnp.dtype(op.coeffs.dtype).name
-        if self.fuse_transfers:
+        if len(op.vshape) == 2:
             H, W = op.vshape
             Rh = _restrict_matrix_1d(H, name)
             Rw = _restrict_matrix_1d(W, name)
@@ -1019,6 +1099,19 @@ class FusedVisitLevel:
             self.RwT = jnp.asarray(Rw.T)
             self.RhT = jnp.asarray(Rh.T)
             self.Rw = jnp.asarray(Rw)
+        elif self.flat:
+            import numpy as np
+
+            Z, Y, X = op.vshape
+            Rz = np.asarray(_restrict_matrix_1d(Z, name))
+            Ry = np.asarray(_restrict_matrix_1d(Y, name))
+            Rx = np.asarray(_restrict_matrix_1d(X, name))
+            K = np.kron(Ry, Rx)
+            self.Rh = jnp.asarray(Rz)
+            self.RwT = jnp.asarray(K.T)
+            self.RhT = jnp.asarray(Rz.T)
+            self.Rw = jnp.asarray(K)
+            self._vc3 = (Rz.shape[0], Ry.shape[0], Rx.shape[0])
         else:
             self.Rh = self.RwT = self.RhT = self.Rw = None
         self.noise_scale = jnp.sqrt(
@@ -1075,33 +1168,73 @@ class FusedVisitLevel:
             interpret=self.interpret, const_coeffs=self.const_coeffs,
             ns_const=self.ns_const, sparse_nz=self._sparse_nz,
         )
+        if self.flat:
+            Z, Y, X = op.vshape
+            self._statics.update(
+                layout=((-2, 1), (-1, X), (-1, 1)), lvshape=(Z, Y, X))
+            flat = self._flat_field
+            if self._coeffs_k is not None:
+                self._coeffs_k = flat(self._coeffs_k)
+            if self.ns_const is None:
+                self.noise_scale = flat(self.noise_scale)
+            if self.B is not None:
+                if self._sparse_B is None:
+                    self.B = flat(self.B)
+                self.Bbar_pre = flat(self.Bbar_pre)
+                self.Bbar_post = flat(self.Bbar_post)
         self.pre_orders = pre_orders
         self.post_orders = post_orders
+
+    def _flat_field(self, a):
+        """(..., Z, Y, X) -> (..., Z, Y*X)."""
+        Z, Y, X = self.op.vshape
+        return a.reshape(a.shape[:-3] + (Z, Y * X))
+
+    def _unflat_field(self, a, vshape=None):
+        vshape = self.op.vshape if vshape is None else vshape
+        return a.reshape(a.shape[:-2] + tuple(vshape))
 
     def _b_arg(self):
         return self.B if self._sparse_B is None else self._sparse_B
 
-    def descend(self, key, f, x, noise=True):
-        """Returns (x, f_coarse) when transfers are fused, else (x, r)."""
+    def descend(self, key, f, x, noise=True, flat_io=False):
+        """Returns (x, f_coarse) when transfers are fused, else (x, r).
+
+        ``flat_io`` (flat-3d mode only): f/x arrive and x/f_coarse return in
+        the kernel's (Z, Y*X) storage - callers that keep the chain state
+        flat across the whole cycle skip the per-call relayouts."""
         sinv = None if self.B is None else (
             self.lr_scale, self.sigma_inv, self.G_pre)
         ns = self.noise_scale if self.ns_const is None else None
-        return descend_visit(
+        if self.flat and not flat_io:
+            f, x = self._flat_field(f), self._flat_field(x)
+        out_x, out_c = descend_visit(
             key, self._coeffs_k, ns, self._b_arg(), self.Bbar_pre,
             sinv, self.Rh, self.RwT, f, x,
             orders=self.pre_orders, noise=noise,
             fuse_restrict=self.fuse_transfers, bc_max=self.bc_max,
             **self._statics,
         )
+        if self.flat and not flat_io:
+            out_x = self._unflat_field(out_x)
+            out_c = out_c.reshape(out_c.shape[:-2] + self._vc3)
+        return out_x, out_c
 
-    def ascend(self, key, f, x, x_coarse, noise=True):
+    def ascend(self, key, f, x, x_coarse, noise=True, flat_io=False):
         """``x_coarse`` is the coarse field when transfers are fused, else
         the already-prolongated fine-size ``P x_c``."""
         ns = self.noise_scale if self.ns_const is None else None
-        return ascend_visit(
+        if self.flat and not flat_io:
+            f, x = self._flat_field(f), self._flat_field(x)
+            Zc = self.RhT.shape[1]
+            x_coarse = x_coarse.reshape(x_coarse.shape[:-3] + (Zc, -1))
+        out = ascend_visit(
             key, self._coeffs_k, ns, self._b_arg(), self.Bbar_post,
             self.lr_scale, self.RhT, self.Rw, f, x, x_coarse,
             orders=self.post_orders, coarse_scaling=self.coarse_scaling,
             noise=noise, fuse_prolongate=self.fuse_transfers,
             bc_max=self.bc_max, **self._statics,
         )
+        if self.flat and not flat_io:
+            out = self._unflat_field(out)
+        return out

@@ -57,19 +57,36 @@ def _normal_from_bits(shape):
     return r * jnp.cos(_TWO_PI * u2)
 
 
-def _shifted(x, off, iotas, vshape):
+def _shifted(x, off, iotas, vshape, layout=None):
     """Zero-Dirichlet shifted read z[i] = x[i+off] via roll + mask.
 
-    ``x`` has shape (..., *vshape); ``iotas[d]`` is the per-axis index field of
-    shape ``vshape``; works for any lattice dim (2d/3d).
+    ``x`` has shape (..., *array_spatial); ``iotas[d]`` is the index field of
+    LOGICAL dim d, shaped like the array's spatial dims.  ``layout`` maps each
+    logical lattice dim to its array axis: a tuple of ``(axis, stride)`` with
+    ``axis`` negative from the end and ``stride`` the step of one logical unit
+    within that axis.  Default: one axis per dim, stride 1 (2d/3d dense).
+
+    A FLATTENED layout packs several logical dims into one array axis (e.g.
+    3d (Z, Y, X) stored as (Z, Y*X) with y at stride X): rolls along the
+    packed axis wrap across the inner boundary, but exactly those reads have
+    an out-of-range inner index and are zero-masked - the same argument that
+    makes plain per-axis rolls correct at lattice edges.
     """
-    z = x
     dim = len(vshape)
-    # pltpu.roll requires non-negative shifts; a backward shift of o is a
-    # forward cyclic shift of (size - o)
+    if layout is None:
+        layout = tuple((d - dim, 1) for d in range(dim))
+    shifts = {}
     for d, o in enumerate(off):
         if o:
-            z = pltpu.roll(z, (-o) % vshape[d], axis=z.ndim - dim + d)
+            ax, stride = layout[d]
+            shifts[ax] = shifts.get(ax, 0) + o * stride
+    z = x
+    # pltpu.roll requires non-negative shifts; a backward shift of o is a
+    # forward cyclic shift of (size - o)
+    for ax, s in shifts.items():
+        if s:
+            size = z.shape[ax]
+            z = pltpu.roll(z, (-s) % size, axis=z.ndim + ax)
     ok = None
     for d, o in enumerate(off):
         if o:
@@ -80,20 +97,38 @@ def _shifted(x, off, iotas, vshape):
     return jnp.where(ok, z, jnp.zeros_like(z))
 
 
+def layout_iotas(vshape, layout, ashape):
+    """Per-LOGICAL-dim index fields of shape ``ashape`` for a (possibly
+    flattened) layout: logical dim d's index = (iota(axis) // stride) mod
+    extent."""
+    arank = len(ashape)
+    iotas = []
+    for d, (ax, stride) in enumerate(layout):
+        flat = jax.lax.broadcasted_iota(jnp.int32, ashape, arank + ax)
+        iotas.append((flat // stride) % vshape[d])
+    return iotas
+
+
 def _sweep_body(coeffs, c, x, *, offsets, diag_index, omega, order,
-                color_weights, n_colors):
-    """All colour phases of one sweep on VMEM-resident values (2d or 3d)."""
+                color_weights, n_colors, layout=None, vshape=None):
+    """All colour phases of one sweep on VMEM-resident values (2d or 3d;
+    ``layout``/``vshape`` describe a flattened storage - see _shifted)."""
     dim = len(offsets[0])
-    vshape = x.shape[-dim:]
-    iotas = [
-        jax.lax.broadcasted_iota(jnp.int32, vshape, d) for d in range(dim)
-    ]
+    if vshape is None:
+        vshape = x.shape[-dim:]
+    if layout is None:
+        iotas = [
+            jax.lax.broadcasted_iota(jnp.int32, vshape, d) for d in range(dim)
+        ]
+    else:
+        arank = max(len(set(ax for ax, _ in layout)), 1)
+        iotas = layout_iotas(vshape, layout, x.shape[x.ndim - arank:])
     color = sum(w * g for w, g in zip(color_weights, iotas)) % n_colors
     diag = coeffs[diag_index]
     for ci in order:
         ax = None
         for k, off in enumerate(offsets):
-            t = coeffs[k] * _shifted(x, off, iotas, vshape)
+            t = coeffs[k] * _shifted(x, off, iotas, vshape, layout)
             ax = t if ax is None else ax + t
         upd = omega * (c - ax) / diag
         x = jnp.where(color == ci, x + upd, x)

@@ -142,6 +142,9 @@ class MultigridMCSampler(Sampler):
             min_vertices=(default_min_fused_vertices()
                           if fused_min_vertices is None
                           else int(fused_min_vertices)),
+            # an explicit threshold also overrides the 3d-specific default
+            min_vertices_3d=(None if fused_min_vertices is None
+                             else int(fused_min_vertices)),
             interpret=bool(fused_interpret),
         )
         self._build_fused_levels(smoother, npresmooth, npostsmooth)
@@ -178,6 +181,7 @@ class MultigridMCSampler(Sampler):
             self.coarse_scaling, self._fused_opts["min_vertices"],
             interpret=self._fused_opts["interpret"],
             force=self._fused_opts["force"],
+            min_vertices_3d=self._fused_opts["min_vertices_3d"],
         )
 
     def _build_subtree(self):
@@ -300,22 +304,40 @@ class MultigridMCSampler(Sampler):
                 self.distilled)
 
     def _sample(self, level: int, key: jax.Array, f: jax.Array, x: jax.Array,
-                parity: int = 0) -> jax.Array:
+                parity: int = 0, flat: bool = False) -> jax.Array:
         """Recursive stochastic cycle (``multigridmc_sampler.cc:103-130``),
-        unrolled at trace time."""
+        unrolled at trace time.
+
+        ``flat``: f and x arrive in this level's fused flat-3d storage
+        ``(Z, Y*X)`` (only ever True when this level's fused kernel is flat);
+        adjacent flat levels hand the coarse rhs/state straight through in
+        flat form, so the fused part of a 3d cycle runs without per-level
+        relayouts."""
         if level == self.nlevel - 1:
             return self.coarse_sampler.apply(key, f, x)
         presamplers, postsamplers, fused_levels, distilled = self._engine(parity)
         op = self.hierarchy.operators[level]
         vdim = len(op.vshape)
-        fused = fused_levels.get(level) if x.ndim == vdim + 1 else None
+        fused = fused_levels.get(level) if (flat or x.ndim == vdim + 1) else None
+        use_flat = fused is not None and getattr(fused, "flat", False)
+        if use_flat and not flat:
+            f, x = fused._flat_field(f), fused._flat_field(x)
+        next_fused = fused_levels.get(level + 1)
+        child_flat = (use_flat and next_fused is not None
+                      and getattr(next_fused, "flat", False)
+                      and not (distilled is not None
+                               and level + 1 == self.distill_level))
         ncycle = self.cycle if level > 0 else 1
         for j in range(ncycle):
             kpre, kcoarse, kpost = jax.random.split(jax.random.fold_in(key, j), 3)
             if fused is not None:
-                x, out = fused.descend(kpre, f, x)
-                f_coarse = out if fused.fuse_transfers else restrict(
-                    out, dim=op.lattice.dim)
+                x, out = fused.descend(kpre, f, x, flat_io=use_flat)
+                if not fused.fuse_transfers:
+                    f_coarse = restrict(out, dim=op.lattice.dim)
+                elif use_flat and not child_flat:
+                    f_coarse = out.reshape(out.shape[:-2] + fused._vc3)
+                else:
+                    f_coarse = out
             else:
                 x = presamplers[level].apply(kpre, f, x)
                 r = f - op.apply(x)
@@ -323,19 +345,26 @@ class MultigridMCSampler(Sampler):
             if level == 0 and self.subtree is not None and x.ndim == vdim + 1:
                 x_coarse = self.subtree.sample(kcoarse, f_coarse)
             elif (distilled is not None
-                  and level + 1 == self.distill_level and x.ndim > vdim):
+                  and level + 1 == self.distill_level
+                  and f_coarse.ndim > vdim):
                 x_coarse = distilled.apply(kcoarse, f_coarse)
             else:
                 x_coarse = jnp.zeros_like(f_coarse)
                 x_coarse = self._sample(level + 1, kcoarse, f_coarse, x_coarse,
-                                        parity)
+                                        parity, flat=child_flat)
             if fused is not None:
-                xc = x_coarse if fused.fuse_transfers else prolongate(
-                    x_coarse, op.vshape)
-                x = fused.ascend(kpost, f, x, xc)
+                if not fused.fuse_transfers:
+                    xc = prolongate(x_coarse, op.vshape)
+                elif use_flat and not child_flat:
+                    xc = x_coarse.reshape(x_coarse.shape[:-vdim] + out.shape[-2:])
+                else:
+                    xc = x_coarse
+                x = fused.ascend(kpost, f, x, xc, flat_io=use_flat)
             else:
                 x = prolongate_add(self.coarse_scaling, x_coarse, x, dim=op.lattice.dim)
                 x = postsamplers[level].apply(kpost, f, x)
+        if use_flat and not flat:
+            x = fused._unflat_field(x)
         return x
 
     def apply(self, key: jax.Array, f: jax.Array, x: jax.Array,

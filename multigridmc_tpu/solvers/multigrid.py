@@ -104,6 +104,8 @@ class MultigridPreconditioner:
                 else int(fused_min_vertices),
                 interpret=bool(fused_interpret),
                 force=None if fused == "auto" else bool(fused),
+                min_vertices_3d=(None if fused_min_vertices is None
+                                 else int(fused_min_vertices)),
             )
         self._dummy_key = jax.random.key(0)
         self._build_distilled(distill)

@@ -57,7 +57,10 @@ def main():
     dev = jax.devices()[0]
     f = jax.device_put(jnp.asarray(rng.uniform(size=op.vshape), dtype=jnp.float32), dev)
 
-    for nchains in (1, NCHAINS):
+    chain_counts = ((1, NCHAINS)
+                    if os.environ.get("MGMC_BENCH3D_SINGLE", "1") == "1"
+                    else (NCHAINS,))
+    for nchains in chain_counts:
         shape = ((nchains,) if nchains > 1 else ()) + op.vshape
 
         def make(K):

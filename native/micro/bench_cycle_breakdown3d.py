@@ -68,7 +68,34 @@ for C in [int(a) for a in (sys.argv[1:] or ["32"])]:
     x0 = batchify(C, l0.vshape)
     vc = sampler.hierarchy.operators[1].vshape
 
-    if fused is not None:
+    if fused is not None and fused.fuse_transfers:
+        # flat engine: transfers in-kernel; descend returns the coarse rhs
+        def pair(x, k, fused=fused, f0=f0):
+            x, fc = fused.descend(k, f0, x)
+            return fused.ascend(k, f0, x, 0.999 * fc)
+
+        t_pair = slope_time(pair, x0, key)
+        print(f"L0 flat fused pair (in-kernel transfers + boundary "
+              f"reshapes): {t_pair*1e3:7.3f} ms", flush=True)
+
+        ff = fused._flat_field(f0)
+        xf0 = fused._flat_field(x0)
+
+        def pair_flat(x, k, fused=fused, ff=ff):
+            x, fc = fused.descend(k, ff, x, flat_io=True)
+            return fused.ascend(k, ff, x, 0.999 * fc, flat_io=True)
+
+        t_pair_f = slope_time(pair_flat, xf0, key)
+        print(f"L0 flat fused pair, flat state (no boundary reshapes): "
+              f"{t_pair_f*1e3:7.3f} ms", flush=True)
+
+        def boundary(x, k, fused=fused):
+            return fused._unflat_field(0.999 * fused._flat_field(x))
+
+        t_b = slope_time(boundary, x0, key)
+        print(f"chain-state flatten+unflatten relayout: {t_b*1e3:7.3f} ms",
+              flush=True)
+    elif fused is not None:
         def pair(x, k, fused=fused, f0=f0):
             x, r = fused.descend(k, f0, x)
             fc = restrict(r, dim=3)
@@ -79,21 +106,19 @@ for C in [int(a) for a in (sys.argv[1:] or ["32"])]:
         print(f"L0 fused pair + out-of-kernel transfers: {t_pair*1e3:7.3f} ms",
               flush=True)
 
-        def pair_only(x, k, fused=fused, f0=f0):
-            x, r = fused.descend(k, f0, x)
-            return fused.ascend(k, f0, x, 1e-3 * r)
+    if 1 in sampler.fused_levels:
+        fl1 = sampler.fused_levels[1]
+        l1v = sampler.hierarchy.operators[1].vshape
+        f1d = jax.device_put(jnp.asarray(
+            np.random.default_rng(2).uniform(size=l1v), jnp.float32), dev)
+        x1d = batchify(C, l1v)
 
-        t_pair_k = slope_time(pair_only, x0, key)
-        print(f"L0 fused pair, kernels only (px<-r dummy): {t_pair_k*1e3:7.3f} ms",
-              flush=True)
+        def pair1(x, k, fl1=fl1, f1d=f1d):
+            x, fc = fl1.descend(k, f1d, x)
+            return fl1.ascend(k, f1d, x, 0.999 * fc)
 
-        def tr_only(x, k, l0=l0, f0=f0):
-            fc = restrict(f0 - l0.apply(x), dim=3)
-            return prolongate_add(1e-3, fc, 0.999 * x, dim=3)
-
-        t_tr = slope_time(tr_only, x0, key)
-        print(f"L0 residual+restrict+prolongate_add (XLA): {t_tr*1e3:7.3f} ms",
-              flush=True)
+        t_p1 = slope_time(pair1, x1d, key)
+        print(f"L1 flat fused pair: {t_p1*1e3:7.3f} ms", flush=True)
 
     pre0 = sampler.presamplers[0]
     t_g0 = slope_time(lambda x, k: pre0.apply(k, f0, x), x0, key)

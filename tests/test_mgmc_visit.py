@@ -107,9 +107,13 @@ def test_descend_visit_odd_chain_count():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_descend_ascend_visit_3d_matches_composed():
-    """3d path: sweep/Woodbury/residual fused, transfers outside
-    (fuse_transfers=False)."""
+@pytest.mark.parametrize("flat", [True, False], ids=["flat", "legacy"])
+def test_descend_ascend_visit_3d_matches_composed(flat, monkeypatch):
+    """3d path.  Default (flat): fields stored (Z, Y*X) in-kernel with
+    in-kernel tensor-product transfers (f_c = R_z r kron(R_y,R_x)^T).
+    Legacy (MGMC_VISIT_FLAT3D=0): dense 3d blocks, transfers outside."""
+    if not flat:
+        monkeypatch.setenv("MGMC_VISIT_FLAT3D", "0")
     lattice = Lattice((10, 12, 14))
     op = shiftedlaplace_fd(lattice, ConstantCorrelationLengthModel(0.3),
                            dtype=jnp.float32)
@@ -119,30 +123,104 @@ def test_descend_ascend_visit_3d_matches_composed():
     fused = FusedVisitLevel(op, coloring, 1.0, pre.order, post.order,
                             pre.B_bar, post.B_bar, coarse_scaling=0.5,
                             interpret=True)
-    assert not fused.fuse_transfers
+    assert fused.fuse_transfers == flat
     rng = np.random.default_rng(4)
     C = 4
     f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
     x = jnp.asarray(rng.normal(size=(C,) + op.vshape), jnp.float32)
 
-    out_x, out_r = fused.descend(jax.random.key(0), f, x, noise=False)
+    out_x, out_c = fused.descend(jax.random.key(0), f, x, noise=False)
     exp_x = pre.apply(f, x)
     exp_r = f - op.apply(exp_x)
+    exp_c = restrict(exp_r, dim=3) if flat else exp_r
     np.testing.assert_allclose(np.asarray(out_x), np.asarray(exp_x),
                                rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(out_r), np.asarray(exp_r),
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(exp_c),
                                rtol=2e-5, atol=2e-5)
 
-    # ascend takes the pre-prolongated fine-size P x_c
     from multigridmc_tpu.ops.intergrid import prolongate
 
     vc = tuple(m // 2 for m in op.vshape)
     xc = jnp.asarray(rng.normal(size=(C,) + vc), jnp.float32)
-    px = prolongate(xc, op.vshape)
-    out_a = fused.ascend(jax.random.key(0), f, x, px, noise=False)
+    # flat mode takes the coarse field itself (prolongation fused in-kernel);
+    # legacy takes the pre-prolongated fine-size P x_c
+    arg = xc if flat else prolongate(xc, op.vshape)
+    out_a = fused.ascend(jax.random.key(0), f, x, arg, noise=False)
     exp = post.apply(f, prolongate_add(0.5, xc, x, dim=3))
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(exp),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_mgmc_3d_flat_recursion_matches_composed():
+    """Full 3d MGMC recursion with flat fused visits on BOTH fine levels
+    (noise off -> deterministic W-cycle algebra) equals the composed cycle:
+    exercises the flat-to-flat coarse handoff (descend's flat f_c feeding the
+    next flat level directly) and the distill/flatten boundaries of
+    MultigridMCSampler._sample."""
+    from multigridmc_tpu.samplers.mgmc import MultigridMCSampler
+
+    lattice = Lattice((16, 16, 16))
+    op = shiftedlaplace_fd(lattice, ConstantCorrelationLengthModel(0.3),
+                           dtype=jnp.float32)
+    rng = np.random.default_rng(31)
+    params = MeasurementParameters(
+        measurement_locations=rng.uniform(0.1, 0.9, size=(3, 3)),
+        mean=rng.normal(size=3),
+        variance=0.5 + rng.uniform(size=3),
+    )
+    op = measured_operator(op, params)
+    comp = MultigridMCSampler(op, nlevel=3, smoother="SOR", cycle=2,
+                              coarse_scaling=0.75, distill=False)
+    assert not comp.fused_levels
+    fus = MultigridMCSampler(op, nlevel=3, smoother="SOR", cycle=2,
+                             coarse_scaling=0.75, distill=False,
+                             fused=True, fused_min_vertices=0,
+                             fused_interpret=True)
+    assert sorted(fus.fused_levels) == [0, 1]
+    assert all(lv.flat and lv.fuse_transfers
+               for lv in fus.fused_levels.values())
+
+    C = 3
+    f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + op.vshape), jnp.float32)
+
+    # noise off turns both cycles into the same deterministic algebra: patch
+    # the composed Gibbs rhs to c = f, force noise=False through the fused
+    # kernels, and swap the coarse Cholesky sample for a deterministic solve
+    class DetCoarse:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def apply(self, key, fc, xc):
+            g = self.inner._solve_L(fc.reshape(fc.shape[:-3] + (-1,)))
+            y = self.inner._solve_LT(g)
+            return y.reshape(fc.shape)
+
+    class NoNoise:
+        def __init__(self, lv):
+            self._lv = lv
+
+        def __getattr__(self, k):
+            return getattr(self._lv, k)
+
+        def descend(self, key, f_, x_, noise=True, flat_io=False):
+            return self._lv.descend(key, f_, x_, noise=False, flat_io=flat_io)
+
+        def ascend(self, key, f_, x_, xc, noise=True, flat_io=False):
+            return self._lv.ascend(key, f_, x_, xc, noise=False,
+                                   flat_io=flat_io)
+
+    comp.coarse_sampler = DetCoarse(comp.coarse_sampler)
+    fus.coarse_sampler = DetCoarse(fus.coarse_sampler)
+    fus.fused_levels = {k: NoNoise(v) for k, v in fus.fused_levels.items()}
+    for s in comp.presamplers + comp.postsamplers:
+        s.random_rhs = lambda key, f_, x_: jnp.broadcast_to(f_, x_.shape)
+
+    key = jax.random.key(0)
+    out_c = comp.apply(key, f, x)
+    out_f = fus.apply(key, f, x)
+    scale = float(jnp.max(jnp.abs(out_c)))
+    assert float(jnp.max(jnp.abs(out_f - out_c))) < 2e-5 * max(scale, 1.0)
 
 
 def test_fused_preconditioner_matches_composed():
@@ -423,22 +501,23 @@ def test_sparse_B_visits_match_dense_3d():
     f = jnp.asarray(rng.normal(size=op.vshape), jnp.float32)
     x = jnp.asarray(rng.normal(size=(C,) + op.vshape), jnp.float32)
 
-    dx, dr = fused_dense.descend(jax.random.key(0), f, x, noise=False)
-    sx, sr = fused_sp.descend(jax.random.key(0), f, x, noise=False)
+    dx, dc = fused_dense.descend(jax.random.key(0), f, x, noise=False)
+    sx, sc = fused_sp.descend(jax.random.key(0), f, x, noise=False)
     np.testing.assert_allclose(np.asarray(sx), np.asarray(dx), rtol=1e-6, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(sr), np.asarray(dr), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(dc), rtol=1e-6, atol=1e-6)
     exp_x = pre.apply(f, x)
     exp_r = f - op.apply(exp_x)
+    exp_c = restrict(exp_r, dim=3) if fused_sp.fuse_transfers else exp_r
     np.testing.assert_allclose(np.asarray(sx), np.asarray(exp_x), rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(sr), np.asarray(exp_r), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(exp_c), rtol=2e-5, atol=2e-5)
 
     from multigridmc_tpu.ops.intergrid import prolongate
 
     vc = tuple(m // 2 for m in op.vshape)
     xc = jnp.asarray(rng.normal(size=(C,) + vc), jnp.float32)
-    px = prolongate(xc, op.vshape)
-    da = fused_dense.ascend(jax.random.key(0), f, x, px, noise=False)
-    sa = fused_sp.ascend(jax.random.key(0), f, x, px, noise=False)
+    arg = xc if fused_sp.fuse_transfers else prolongate(xc, op.vshape)
+    da = fused_dense.ascend(jax.random.key(0), f, x, arg, noise=False)
+    sa = fused_sp.ascend(jax.random.key(0), f, x, arg, noise=False)
     np.testing.assert_allclose(np.asarray(sa), np.asarray(da), rtol=1e-6, atol=1e-6)
     exp_a = post.apply(f, prolongate_add(0.5, xc, x, dim=3))
     np.testing.assert_allclose(np.asarray(sa), np.asarray(exp_a), rtol=2e-5, atol=2e-5)
