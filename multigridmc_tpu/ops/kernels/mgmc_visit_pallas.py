@@ -177,15 +177,29 @@ def _normals(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
 
+#: MXU precision of the in-kernel transfer matmuls.  Default HIGHEST =
+#: f32-exact (same as ops.intergrid, what the exactness tests compare
+#: against; Mosaic supports only DEFAULT and HIGHEST in-kernel).  "default"
+#: (single bf16 pass) is an opt-in measured tier: the in-kernel R then
+#: deviates from the P/Galerkin pair by bf16 rounding, which perturbs the
+#: invariant measure the same way the distill-DEFAULT tier does - use only
+#: with a bias validation run.
+_TRANSFER_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("MGMC_VISIT_TRANSFER_PRECISION", "highest")]
+
+
 def _mm(a, b):
-    """f32-exact MXU matmul (same precision as ops.intergrid contractions).
+    """MXU matmul for the in-kernel transfers (precision: see
+    _TRANSFER_PRECISION; f32-exact by default).
 
     Contracts the last axis of ``a`` with the first of ``b``; for rank-3 ``a``
     this is one batched lane-dim contraction (free dims stay in lhs order), so
     the whole chain block rides a single MXU dispatch."""
     return jax.lax.dot_general(
         a, b, (((a.ndim - 1,), (0,)), ((), ())),
-        precision=_HI, preferred_element_type=jnp.float32,
+        precision=_TRANSFER_PRECISION, preferred_element_type=jnp.float32,
     )
 
 
