@@ -82,8 +82,14 @@ def _cache_put(kind: str, key: str, value) -> None:
         pass  # read-only filesystem: value still used this process
 
 
-def _slope(fn, key_fn, n1=4, n2=16):
-    """Two-length slope of a (key, nsteps)->array device loop (tunnel-safe)."""
+def _slope(fn, key_fn, n1=50, n2=200):
+    """Two-length slope of a (key, nsteps)->array device loop (tunnel-safe).
+
+    Lengths must keep both measurements in the tunnel's slow regime AND well
+    above timing noise: the round-5 hardware validation caught the original
+    4/16-step version measuring a NEGATIVE slope for the 127^2 fused pair
+    (sub-ms per step against ~1 ms run-to-run jitter), which silently flipped
+    the fused_min_vertices decision to 16000."""
 
     def force(t):
         return float(t.ravel()[0])
@@ -190,8 +196,10 @@ def probe_distill_max_n(nchains: int = 256) -> int:
         S_T = jnp.asarray(rng.normal(size=(n, n)) / np.sqrt(n), jnp.float32)
         x = jnp.asarray(rng.normal(size=(nchains, n)), jnp.float32)
 
+        # Tm/S_T as ARGUMENTS: closed over they embed as HLO constants
+        # (2.1 GB at 127^2) and overflow the remote-compile transport
         @jax.jit
-        def dist_steps(key, nst, x=x, Tm=Tm, S_T=S_T):
+        def _dist_steps(key, nst, x, Tm, S_T):
             def body(i, x):
                 xi = jax.random.normal(
                     jax.random.fold_in(key, i), x.shape, x.dtype)
@@ -199,6 +207,9 @@ def probe_distill_max_n(nchains: int = 256) -> int:
                 return y + jnp.tensordot(xi, S_T, axes=([1], [0]),
                                          precision=PRECISION)
             return jax.lax.fori_loop(0, nst, body, x)
+
+        def dist_steps(key, nst, x=x, Tm=Tm, S_T=S_T):
+            return _dist_steps(key, nst, x, Tm, S_T)
 
         with jax.default_device(jax.devices("cpu")[0]):
             lattice = Lattice((side + 1, side + 1))
@@ -214,7 +225,14 @@ def probe_distill_max_n(nchains: int = 256) -> int:
         @jax.jit
         def comp_steps(key, nst, x=xg, f=f, sampler=sampler):
             def body(i, x):
-                return sampler.apply(jax.random.fold_in(key, i), f, x)
+                # the production subtree is rooted at level > 0, so ONE
+                # distilled invocation replaces ``cycle`` visits of the root
+                # (W-cycle multiplicity); a single root-level apply here
+                # would undercount the composed work 2x - the round-5
+                # hardware validation caught exactly that (probe returned 0)
+                k = jax.random.fold_in(key, i)
+                x = sampler.apply(jax.random.fold_in(k, 0), f, x)
+                return sampler.apply(jax.random.fold_in(k, 1), f, x)
             return jax.lax.fori_loop(0, nst, body, x)
 
         td = _slope(dist_steps, sampling_key)
