@@ -81,15 +81,21 @@ def main():
         @jax.jit
         def run(key):
             x = jnp.zeros((nrep,) + op.vshape, jnp.float32)
-            zs = []
-            for j in range(nsteps):
+
+            # lax.scan (the drivers' loop form): apply_indexed dispatches the
+            # parity engines through ONE lax.cond - a Python-unrolled loop
+            # would inline both fused+distilled engines nsteps times and blow
+            # the executable size (measured: 4.4 GB serialized proto)
+            def step(x, j):
                 x = sampler.apply_indexed(
                     jax.random.fold_in(key, j), f32, x, j)
-                zs.append(x[:, ci, cj])
-            return jnp.stack(zs)
+                return x, jnp.mean(x[:, ci, cj])
 
-        zs = np.asarray(run(key), dtype=np.float64)
-        return np.abs(zs.mean(axis=1) - exact_mean)
+            _, zmeans = jax.lax.scan(step, x, jnp.arange(nsteps))
+            return zmeans
+
+        zm = np.asarray(run(key), dtype=np.float64)
+        return np.abs(zm - exact_mean)
 
     # ---- 1. scan-problem rate confirmation -------------------------------
     op = build(32, 4, 42, 1e-4)
@@ -116,8 +122,8 @@ def main():
                         sampling_key(7))
         r = rate(q, floor)
         results[f"scan32_{name}"] = {
-            "rate": round(r, 3), "q": [round(float(v), 5) for v in q[:8]]}
-        log(f"32x32 {name}: rate {r:.3f}")
+            "rate": round(r, 3), "q": [round(float(v), 5) for v in q]}
+        log(f"32x32 {name}: rate {r:.3f}  q={[f'{v:.4f}' for v in q]}")
 
     # ---- 2. flagship warmup-to-tolerance ---------------------------------
     sys.path.insert(0, str(REPO))
@@ -140,7 +146,7 @@ def main():
         sig64 = np.asarray(opf.lowrank.Sigma_diag, np.float64)
 
     def matvec(v):
-        x = v.reshape(vshape)
+        x = np.asarray(v, np.float64).reshape(vshape)
         y = np.zeros_like(x)
         for k, (oy, ox) in enumerate(opf.offsets):
             ys0, ys1 = max(0, -oy), min(H, H - oy)
@@ -161,7 +167,8 @@ def main():
     rel = float(np.max(np.abs(yn - yj)) / np.max(np.abs(yn)))
     assert rel < 1e-3, f"numpy matvec mismatch: {rel:.2e}"
 
-    lin = spla.LinearOperator((fvec.size, fvec.size), matvec=matvec)
+    lin = spla.LinearOperator((fvec.size, fvec.size), matvec=matvec,
+                              dtype=np.float64)
     mean_vec, info = spla.cg(lin, fvec, rtol=1e-12, maxiter=20000)
     assert info == 0, info
     nf = opf.vshape[1]
