@@ -48,7 +48,7 @@ def main():
 
         return run
 
-    def slope(shape, label, n=1):
+    def slope(shape, label, n=1, Ks=None):
         # distinct rhs per repetition: the tunnel serves repeated calls with
         # identical (program, args) from a result cache (~0.1 ms round trips)
         rhss = [jax.device_put(
@@ -63,7 +63,7 @@ def main():
             # the slope)
             return float(x.ravel()[0])
 
-        for K in (K1, K2):
+        for K in (Ks or (K1, K2)):
             run = make(K)
             x, red = run(rhss[3])
             force(x)
@@ -74,14 +74,18 @@ def main():
                 force(x)
                 best = min(best, time.perf_counter() - t0)
             ts[K] = best
-        dt = (ts[K2] - ts[K1]) / (K2 - K1)
+        Ka, Kb = Ks or (K1, K2)
+        dt = (ts[Kb] - ts[Ka]) / (Kb - Ka)
         print(f"tpu deterministic MG, {label}: {dt * 1e3 / n:.4f} ms/cycle"
               + (f"-batch ({n / dt:.0f} cycle-solves/s)" if n > 1 else
-                 f", residual reduction {float(red):.3e} over {K2} cycles"
+                 f", residual reduction {float(red):.3e} over {Kb} cycles"
                  " (float32 floor ~1e-6)"),
               flush=True)
 
-    slope(op.vshape, "1 rhs")
+    # the single-rhs cycle is ~0.1 ms: 40/160 loops put the length delta
+    # inside the tunnel's run-to-run jitter (round-5 measured a negative
+    # slope); longer loops keep it well above
+    slope(op.vshape, "1 rhs", Ks=(200, 1000))
     nrhs = 64
     print(f"fused levels: {sorted(precond.fused_levels)}", flush=True)
     slope((nrhs,) + op.vshape, f"{nrhs} rhs", n=nrhs)
