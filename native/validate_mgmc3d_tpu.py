@@ -63,7 +63,10 @@ def main():
 
     wj = jnp.asarray(w, dtype=jnp.float32)
     dev = jax.devices()[0]
-    nchains, nwarmup, nsteps = 32, 30, 300
+    import os
+
+    nchains, nwarmup = 32, 30
+    nsteps = int(os.environ.get("MGMC_VALIDATE3D_NSTEPS", "300"))
     f = jax.device_put(jnp.zeros(op.vshape, dtype=jnp.float32), dev)
     x = jax.device_put(jnp.zeros((nchains,) + op.vshape, dtype=jnp.float32), dev)
 
