@@ -105,28 +105,27 @@ op3 = measured_operator(op3, MeasurementParameters(
     measurement_locations=rng3.uniform(0.1, 0.9, size=(8, 3)),
     mean=rng3.normal(size=8), variance=1.0 + rng3.uniform(size=8)))
 pre3, post3, fused3 = fused_for(op3, coarse_scaling=0.75)
-assert not fused3.fuse_transfers
+# round 5: 3d runs FLAT by default (fields (Z, Y*X) in-kernel, transfers
+# fused); MGMC_VISIT_FLAT3D=0 would restore the legacy out-of-kernel form
+assert fused3.flat and fused3.fuse_transfers
 C3 = 4
 f3 = jnp.asarray(rng3.normal(size=op3.vshape), jnp.float32)
 x3 = jnp.asarray(rng3.normal(size=(C3,) + op3.vshape), jnp.float32)
-out_x3, out_r3 = jax.jit(lambda f, x: fused3.descend(
+out_x3, out_c3 = jax.jit(lambda f, x: fused3.descend(
     jax.random.key(0), f, x, noise=False))(f3, x3)
 exp_x3 = jax.jit(pre3.apply)(f3, x3)
-exp_r3 = f3 - op3.apply(exp_x3)
+exp_c3 = restrict(f3 - op3.apply(exp_x3), dim=3)
 ex3 = float(jnp.max(jnp.abs(out_x3 - exp_x3)))
-er3 = float(jnp.max(jnp.abs(out_r3 - exp_r3)))
-check("3d descend exactness", ex3 < 2e-3 and er3 < 2e-3,
-      f"max|dx|={ex3:.2e} max|dr|={er3:.2e}")
-from multigridmc_tpu.ops.intergrid import prolongate
-
+er3 = float(jnp.max(jnp.abs(out_c3 - exp_c3)))
+check("3d flat descend exactness", ex3 < 2e-3 and er3 < 2e-3,
+      f"max|dx|={ex3:.2e} max|dfc|={er3:.2e}")
 vc3 = tuple(v // 2 for v in op3.vshape)
 xc3 = jnp.asarray(rng3.normal(size=(C3,) + vc3), jnp.float32)
-px3 = prolongate(xc3, op3.vshape)
-out_a3 = jax.jit(lambda f, x, px: fused3.ascend(
-    jax.random.key(0), f, x, px, noise=False))(f3, x3, px3)
+out_a3 = jax.jit(lambda f, x, xc: fused3.ascend(
+    jax.random.key(0), f, x, xc, noise=False))(f3, x3, xc3)
 exp_a3 = jax.jit(post3.apply)(f3, prolongate_add(0.75, xc3, x3, dim=3))
 ea3 = float(jnp.max(jnp.abs(out_a3 - exp_a3)))
-check("3d ascend exactness", ea3 < 2e-3, f"max|dx|={ea3:.2e}")
+check("3d flat ascend exactness", ea3 < 2e-3, f"max|dx|={ea3:.2e}")
 
 # ------------------------------------------------------ 1c. SSOR exactness
 from multigridmc_tpu.smoothers import SSORSmoother
@@ -210,6 +209,7 @@ import multigridmc_tpu.samplers.mgmc as mgmc_mod
 
 os.environ["MGMC_FUSED"] = "1"
 mgmc_mod.MIN_FUSED_VERTICES = 200
+os.environ["MGMC_FUSED_MIN_VERTICES_3D"] = "200"  # the tiny 8^3 gate problem
 sampler = mgmc_mod.MultigridMCSampler(
     op, nlevel=2, smoother="SOR", coarse_solver="Cholesky", omega=1.0, cycle=1)
 assert sampler.fused_levels, "fused levels not built"
@@ -258,7 +258,7 @@ cov_exact3 = np.linalg.inv(Q3)
 sampler3 = mgmc_mod.MultigridMCSampler(
     op3s, nlevel=2, smoother="SOR", coarse_solver="Cholesky", omega=1.0,
     cycle=1)
-assert sampler3.fused_levels and not sampler3.fused_levels[0].fuse_transfers
+assert sampler3.fused_levels and sampler3.fused_levels[0].flat  # round-5 flat 3d
 C3s, nsteps3, nwarm3 = 512, 1200, 100
 
 
