@@ -184,10 +184,17 @@ def _normals(shape):
 #: deviates from the P/Galerkin pair by bf16 rounding, which perturbs the
 #: invariant measure the same way the distill-DEFAULT tier does - use only
 #: with a bias validation run.
-_TRANSFER_PRECISION = {
+_TRANSFER_TIERS = {
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("MGMC_VISIT_TRANSFER_PRECISION", "highest")]
+}
+_TRANSFER_ENV = os.environ.get("MGMC_VISIT_TRANSFER_PRECISION", "highest")
+if _TRANSFER_ENV not in _TRANSFER_TIERS:
+    raise ValueError(
+        f"MGMC_VISIT_TRANSFER_PRECISION={_TRANSFER_ENV!r}: Mosaic supports "
+        f"only {sorted(_TRANSFER_TIERS)} in-kernel ('high' exists for "
+        f"MGMC_DISTILL_PRECISION but not here)")
+_TRANSFER_PRECISION = _TRANSFER_TIERS[_TRANSFER_ENV]
 
 
 def _mm(a, b):

@@ -330,13 +330,16 @@ class ShardedMGMCSampler:
         for i in range(1, len(flags)):
             flags[i] = flags[i] and flags[i - 1]
         if not flags[0]:
-            raise ValueError(
+            import warnings
+
+            warnings.warn(
                 f"finest level {hierarchy.operators[0].vshape} is not "
                 f"shardable over lattice mesh {S} with agglomerate_below="
-                f"{agglomerate_below} (padded extents must divide the mesh "
-                f"and leave local blocks >= the threshold); lower "
-                f"agglomerate_below, shrink the lattice mesh, or use the "
-                f"chains-data-parallel sampler")
+                f"{agglomerate_below}: the cycle will run fully REPLICATED "
+                f"over the lattice axes (correct, but each device repeats "
+                f"the full lattice work); lower agglomerate_below, shrink "
+                f"the lattice mesh, or use the chains-data-parallel sampler",
+                stacklevel=3)
         self.levels: List[_Level] = [
             _build_level(level_op, self.omega, flag)
             for level_op, flag in zip(hierarchy.operators, flags)
@@ -749,11 +752,18 @@ class ShardedMGMCSampler:
         params, specs = self._params_and_specs()
         lv0 = self.levels[0]
         lat_spec = self._lattice_spec(lv0)
-        x_spec = (
-            P(self.chains_axis, *self.lattice_axes)
-            if self.chains_axis
-            else lat_spec
-        )
+        # x follows the FINEST level's shardability: when even level 0 is
+        # replicated (a mesh whose lattice axes don't divide the padded
+        # extents), the whole cycle runs replicated over the lattice - each
+        # device does the full lattice work redundantly but correctly, with
+        # chains still data-parallel.  Sharding x over lattice axes while the
+        # level arrays are replicated would mismatch shapes inside shard_map.
+        if not self.chains_axis:
+            x_spec = lat_spec
+        elif lv0.sharded:
+            x_spec = P(self.chains_axis, *self.lattice_axes)
+        else:
+            x_spec = P(self.chains_axis)
 
         def run(chains_total, key, f, x, *params):
             return self._sample(0, list(params), key, f, x, chains_total)

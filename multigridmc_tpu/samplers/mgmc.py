@@ -149,7 +149,7 @@ class MultigridMCSampler(Sampler):
         )
         self._build_fused_levels(smoother, npresmooth, npostsmooth)
         self._build_distilled(distill)
-        self._build_alternate(distill)
+        self._build_alternate()
 
     # ------------------------------------------------- fused level visits
     def _build_fused_levels(self, smoother: str, npresmooth: int, npostsmooth: int):
@@ -265,7 +265,7 @@ class MultigridMCSampler(Sampler):
                 noise=True, precision=self.distill_precision,
             )
 
-    def _build_alternate(self, distill):
+    def _build_alternate(self):
         """Parity-1 engine for ``sweep_schedule="alternating"``: the same
         hierarchy with the pre/post sampler roles swapped (odd steps presample
         backward and postsample forward).  Measured on the reference's own

@@ -169,10 +169,12 @@ class MultigridParameters:
       0.505/step vs 0.617 fixed-colored and 0.685 lexicographic - a ~2x
       warmup reduction at identical per-step cost.
     * ``distill_precision`` - MXU precision of the distilled coarse-subtree
-      matmuls: ``"highest"`` (f32-exact), ``"high"`` (default; bf16x3,
-      statistically indistinguishable at 5.12M samples, ~11% faster), or
-      ``"default"`` (single bf16 pass, ~9% faster again but carries a
-      measured +0.26-0.67% stationary-variance bias - opt-in only).
+      matmuls: ``"highest"`` (f32-exact), ``"high"`` (bf16x3, statistically
+      indistinguishable at 5.12M samples, ~11% faster), or ``"default"``
+      (single bf16 pass, ~9% faster again but carries a measured
+      +0.26-0.67% stationary-variance bias - opt-in only).  Unset (None)
+      defers to the ``MGMC_DISTILL_PRECISION`` env var (default "high") -
+      so the env knob keeps working unless the config file pins a tier.
     """
 
     smoother: str = "SOR"
@@ -186,7 +188,7 @@ class MultigridParameters:
     coarse_scaling: float = 1.0
     verbose: int = 0
     sweep_schedule: str = "fixed"
-    distill_precision: str = "high"
+    distill_precision: Optional[str] = None
 
 
 @dataclasses.dataclass

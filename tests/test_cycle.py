@@ -130,6 +130,40 @@ def test_global_noise_mesh_equivalence(prior_kind):
     )
 
 
+def test_replicated_finest_fallback():
+    """A mesh whose lattice axes leave the finest level unshardable must run
+    fully REPLICATED over the lattice (with a warning) and still match the
+    1-device trajectory - not crash with a shard_map shape mismatch
+    (round-5 review finding)."""
+    import warnings
+
+    op = make_posterior(nx=16, prior_kind="fd")
+    kwargs = dict(nlevel=2, smoother="SOR", cycle=1, noise_mode="global")
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+                 ("chains", "ly", "lx"))
+    # 16-padded extents over a 4-way ly axis leave 4-row blocks; a threshold
+    # above that forces even level 0 replicated
+    mesh8 = lattice_mesh_2d(4, 2, chains=1)
+    s1 = ShardedMGMCSampler(op, mesh=mesh1, agglomerate_below=4, **kwargs)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s8 = ShardedMGMCSampler(op, mesh=mesh8, agglomerate_below=64,
+                                **kwargs)
+    assert any("REPLICATED" in str(wi.message) for wi in w)
+    assert not s8.levels[0].sharded
+
+    rng = np.random.default_rng(9)
+    nchains = 2
+    f = pad_field(jnp.asarray(rng.normal(size=op.vshape)), op.vshape)
+    x = pad_field(jnp.asarray(rng.normal(size=(nchains,) + op.vshape)),
+                  op.vshape)
+    key = jax.random.PRNGKey(3)
+    y1 = s1.apply(key, f, x)
+    y8 = s8.apply(key, f, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y8),
+                               rtol=1e-10, atol=1e-11)
+
+
 def test_sharded_sampler_statistics():
     """Production mode (per-shard PRNG): chain mean vs Q^{-1} f and sample
     covariance vs Q^{-1} on the full 8-device mesh."""

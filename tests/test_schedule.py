@@ -82,15 +82,8 @@ def test_alternating_sampler_statistics():
     sampler = MultigridMCSampler(op, nlevel=3, smoother="SOR", omega=1.4,
                                  cycle=2, sweep_schedule="alternating")
 
-    class Indexed:
-        """Adapter: drive apply_indexed through the shared oracle loop."""
-
-        def apply(self, key, f, x, _c=[0]):
-            # the oracle folds a fresh loop index per call; parity must track
-            # it, so thread the traced index through apply_indexed instead
-            raise NotImplementedError
-
-    # inline oracle (mean_covariance_error drives .apply without the index)
+    # inline oracle (mean_covariance_error drives .apply without the step
+    # index; the alternating schedule needs it threaded through apply_indexed)
     n = op.lattice.nvertex
     rng = np.random.default_rng(1342517)
     mean_exact = rng.uniform(size=n)
